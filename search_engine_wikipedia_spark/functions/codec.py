@@ -1,0 +1,159 @@
+"""Posting-list compression: delta gaps + variable-byte, block-max metadata.
+
+The reference relies on Whoosh's internal varint segment format (opaque;
+``indexing/index.py`` just calls ``writer.commit()``).  Our engine makes
+the codec explicit and columnar-friendly:
+
+* doc IDs are sorted per (term, field), delta-gap encoded, then
+  variable-byte (VB) compressed — the classic scheme (Manning/Raghavan/
+  Schütze IIR §5.3; also surveyed in the retrieved PAPERS.md entries on
+  list compression),
+* term frequencies and field lengths are VB-compressed as-is (small
+  positive ints compress to ~1 byte),
+* per block of ``BLOCK_SIZE`` postings we keep ``(last_doc, max_tf,
+  min_fl)`` so the query-time scorer can compute a safe BM25 upper
+  bound per block and skip blocks — block-max WAND (Ding & Suel,
+  SIGIR'11).
+
+Everything is numpy-vectorized: encode/decode never loop per posting in
+Python.  These kernels run inside ``applyInPandas`` during the segment
+build/merge and inside the WAND scorer at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# Variable-byte codec (vectorized)
+# ---------------------------------------------------------------------------
+def vb_encode(values: np.ndarray) -> bytes:
+    """VB-encode a uint64 array: 7 data bits per byte, MSB set on the
+    terminating (least-significant) byte of each value."""
+    values = np.asarray(values, dtype=np.uint64)
+    if values.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(values.shape, dtype=np.int64)
+    v = values.copy()
+    # max 10 groups for 64-bit
+    nbytes = np.ones(values.shape, dtype=np.int64)
+    v >>= np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    del nbits
+
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # end offset of each value's byte run
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # big-endian 7-bit groups: most significant group first, last byte |= 0x80
+    # Fill per byte-position from the end (value & 0x7f, then shift).
+    max_len = int(nbytes.max())
+    shifted = values.copy()
+    for pos in range(max_len):  # ≤10 iterations, each vectorized
+        idx = nbytes > pos  # values that still have a byte at this position
+        target = ends[idx] - 1 - pos
+        byte = (shifted[idx] & np.uint64(0x7F)).astype(np.uint8)
+        if pos == 0:
+            byte |= np.uint8(0x80)  # terminator flag on least-significant byte
+        out[target] = byte
+        shifted = shifted >> np.uint64(7)
+    return out.tobytes()
+
+
+def vb_decode(data: bytes) -> np.ndarray:
+    """Decode a VB byte string → uint64 array (vectorized)."""
+    if not data:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_end = (raw & 0x80) != 0
+    n_values = int(is_end.sum())
+    # group index of each byte: cumulative count of terminators before it
+    group = np.zeros(raw.shape, dtype=np.int64)
+    group[1:] = np.cumsum(is_end)[:-1]
+    payload = (raw & 0x7F).astype(np.uint64)
+    out = np.zeros(n_values, dtype=np.uint64)
+    # position of byte within its group, from the end:
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    pos_from_end = (ends[group] - np.arange(raw.size)).astype(np.uint64)
+    np.add.at(out, group, payload << (np.uint64(7) * pos_from_end))
+    del lengths
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Posting-list blob:  (sorted doc_ids, tfs, fls)  <->  3 VB byte strings
+# ---------------------------------------------------------------------------
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, fls: np.ndarray):
+    """Encode one posting list.
+
+    ``doc_ids`` must be sorted ascending and unique.  Returns
+    ``(doc_blob, tf_blob, fl_blob, block_last, block_max_tf,
+    block_min_fl)`` where the block arrays hold per-``BLOCK_SIZE``-chunk
+    metadata for block-max WAND.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    fls = np.asarray(fls, dtype=np.uint64)
+    gaps = np.empty_like(doc_ids)
+    if doc_ids.size:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    n = doc_ids.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_last = np.empty(nblocks, dtype=np.int64)
+    block_max_tf = np.empty(nblocks, dtype=np.int64)
+    block_min_fl = np.empty(nblocks, dtype=np.int64)
+    for b in range(nblocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        block_last[b] = int(doc_ids[hi - 1])
+        block_max_tf[b] = int(tfs[lo:hi].max())
+        block_min_fl[b] = int(fls[lo:hi].min())
+    return (
+        vb_encode(gaps),
+        vb_encode(tfs),
+        vb_encode(fls),
+        block_last.tolist(),
+        block_max_tf.tolist(),
+        block_min_fl.tolist(),
+    )
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes, fl_blob: bytes):
+    """Decode one posting list → (doc_ids, tfs, fls) int64 arrays."""
+    gaps = vb_decode(doc_blob)
+    doc_ids = np.cumsum(gaps.astype(np.int64))
+    tfs = vb_decode(tf_blob).astype(np.int64)
+    fls = vb_decode(fl_blob).astype(np.int64)
+    return doc_ids, tfs, fls
+
+
+def merge_encoded_segments(segments):
+    """k-way merge of per-segment posting blobs for one (term, field).
+
+    ``segments``: iterable of (doc_blob, tf_blob, fl_blob).  Doc IDs are
+    globally unique across segments (a doc lives in exactly one
+    segment), so the merge is decode → concat → argsort → re-encode.
+    Returns the ``encode_postings`` tuple for the merged list.
+    """
+    doc_parts, tf_parts, fl_parts = [], [], []
+    for doc_blob, tf_blob, fl_blob in segments:
+        d, t, f = decode_postings(doc_blob, tf_blob, fl_blob)
+        doc_parts.append(d)
+        tf_parts.append(t)
+        fl_parts.append(f)
+    doc_ids = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    fls = np.concatenate(fl_parts)
+    order = np.argsort(doc_ids, kind="stable")
+    return encode_postings(doc_ids[order], tfs[order], fls[order])

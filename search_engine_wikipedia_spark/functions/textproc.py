@@ -1,0 +1,263 @@
+"""Text-processing kernels: wikitext cleaning, link extraction, analyzers.
+
+Pure-Python/pandas kernels re-deriving the reference semantics:
+
+* ``clean_wikitext``   — the 22 ordered ``re.DOTALL`` substitutions of
+  ``FilterWikiText.getCleaned`` (reference
+  ``indexing/xmlParsing/filterText.py:122-179``).  The per-document
+  output is **byte-identical** to the reference cleaner (the
+  ``input_hint`` invariant); tests assert this against golden pairs.
+* ``extract_links``    — link + category resolution of
+  ``FilterWikiText.getLinkAndCategory`` (``filterText.py:18-119``):
+  ``[[target|display]]`` pattern, ``#section``/self-link drops,
+  ``/sub`` and ``../rel`` resolution, ``Category:`` split, ``{{var}}``
+  and ``Image:/Manual:/Extension:`` drops, interwiki-prefix and
+  invalid-namespace drops, final ``:`` strip.
+* ``analyze_text`` / ``analyze_title`` — Whoosh analyzer chains
+  (reference ``indexing/analysis/analyzers.py:20-33``; selected in the
+  schema at ``indexing/index.py:25-39``): regex tokenizer
+  ``\\w+(\\.?\\w+)*`` → lowercase → stop-word / minsize filter →
+  (text field only) Porter stem.
+
+Each kernel has a vectorized pandas wrapper for use inside Arrow-batched
+Spark UDFs — no per-row Python at the DataFrame level.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+
+from .porter import stem
+
+# ---------------------------------------------------------------------------
+# Namespace blocklist — reference indexing/xmlParsing/saxReader.py:22-55.
+# Keys are MediaWiki namespace numbers; values are the canonical names.
+# Used (a) by the XML-era namespace filter (S2) and (b) by the link
+# extractor, which drops links whose prefix equals a name with '_'→' '
+# (filterText.py:106-108).
+# ---------------------------------------------------------------------------
+NS_NOT_VALID = {
+    "-2": "Media", "-1": "Special", "1": "Talk", "2": "User", "3": "User_talk",
+    "4": "Wikipedia", "5": "Wikipedia_talk", "6": "File", "7": "File_talk",
+    "8": "MediaWiki", "9": "MediaWiki_talk", "10": "Template",
+    "11": "Template_talk", "12": "Help", "13": "Help_talk", "14": "Category",
+    "15": "Category_talk", "100": "Portal", "101": "Portal_talk",
+    "108": "Book", "109": "Book_talk", "118": "Draft", "119": "Draft_talk",
+    "446": "Education_Program", "447": "Education_Program_talk",
+    "710": "TimedText", "711": "TimedText_talk", "828": "Module",
+    "829": "Module_talk", "2300": "Gadget", "2301": "Gadget_talk",
+    "2302": "Gadget_definition", "2303": "Gadget_definition_talk",
+    "2600": "Topic",
+}
+
+# Interwiki prefixes — the reference fetches ~775 prefixes from the
+# MediaWiki API once and pickles them (interwikiLink.py:12-51).  No
+# network here: a deterministic pinned subset covering the prefixes that
+# can actually appear in our synthetic corpus plus the common real ones.
+INTERWIKI_PREFIXES = frozenset({
+    "w", "wikt", "wiktionary", "wikipedia", "wiki", "commons", "meta",
+    "metawikipedia", "wikibooks", "wikidata", "wikinews", "wikiquote",
+    "wikisource", "wikispecies", "wikiversity", "wikivoyage", "mw",
+    "phabricator", "gerrit", "mediawikiwiki", "testwiki", "de", "fr", "it",
+    "es", "nl", "ja", "pl", "pt", "ru", "sv", "zh", "ar", "fi", "no", "cs",
+    "ko", "tr", "doi", "arxiv", "pmid", "rfc", "iarchive", "oeis",
+    "google", "imdb", "s", "b", "q", "n", "v", "m", "voy",
+})
+
+# ---------------------------------------------------------------------------
+# T1 — wikitext cleaner.  The exact ordered replacement list of
+# filterText.py:143-174, applied with re.DOTALL exactly as the loop at
+# filterText.py:175-178 does.
+# ---------------------------------------------------------------------------
+_CLEAN_REPLACEMENTS = [
+    (r"{{[^}{]*?url=.*?}}", ""),
+    (r"{{[^}{]*?lang.*?}}", ""),
+    (r"{{[^}{]*?reflist.*?}}", ""),
+    (r"{{[^}{]*?commons.*?}}", ""),
+    (r"{{[^}{]*?coord.*?}}", ""),
+    (r"\[http.+?\]", ""),
+    (r"\shttp.+?\s", ""),
+    (r"\s[^\s]+\.com\s?", ""),
+    (r"\s[^\s]+\.org\s?", ""),
+    (r"\s[^\s]+\.it\s?", ""),
+    (r"\s[^\s]+\.en\s?", ""),
+    (r"<gallery.*?</gallery>", ""),
+    (r"\[\[File:.*?\]\]", ""),
+    (r"\[\[Media:.*?\]\]", ""),
+    (r"<[^<]*?>", ""),
+    (r"\[", ""),
+    (r"\]", ""),
+    (r"\{", ""),
+    (r"\}", ""),
+    (r"\/", ""),
+    (r"\:", " "),
+    (r"\|", " "),
+    (r"\=", " "),
+    (r"\*", ""),
+]
+_CLEAN_COMPILED = [(re.compile(p, flags=re.DOTALL), r) for p, r in _CLEAN_REPLACEMENTS]
+
+
+def clean_wikitext(text: str) -> str:
+    """Byte-identical port of ``FilterWikiText.getCleaned`` (T1)."""
+    res = text
+    for pattern, repl in _CLEAN_COMPILED:
+        res = pattern.sub(repl, res)
+    return res
+
+
+def clean_wikitext_series(texts: pd.Series) -> pd.Series:
+    """Vectorized T1 for pandas UDFs.
+
+    Runs the exact compiled ``re.sub`` loop over the array — pandas
+    ``str.replace`` idioms are avoided so the regex semantics (DOTALL,
+    lazy quantifiers, replacement order) cannot drift.
+    """
+    return texts.map(lambda t: clean_wikitext(t) if t is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# T2 — link + category extraction (filterText.py:18-119).
+# ---------------------------------------------------------------------------
+_LINK_PATTERN = re.compile(r"\[\[([^\]]+?)\]\]")
+_HASH_TAIL = re.compile(r"#.*")
+_TRAILING_SLASH = re.compile(r"/\s*?$")
+_FATHER_PAGE = re.compile(r"/[^/]+?$")
+_DOTDOT = re.compile(r"..")  # reference uses r'..' (any 2 chars) — kept verbatim
+_NS_CANDIDATE = re.compile(r"^:?[^:]+?:")
+_COLON = re.compile(r":")
+
+_NS_NOT_VALID_SPACED = tuple(v.replace("_", " ") for v in NS_NOT_VALID.values())
+
+
+def extract_links(
+    text: str,
+    title: str,
+    interwiki_prefixes: Iterable[str] = INTERWIKI_PREFIXES,
+) -> dict:
+    """Re-derivation of ``FilterWikiText.getLinkAndCategory`` (T2).
+
+    Returns ``{'links': [...], 'categories': [...]}`` with the exact
+    resolution/filter rules of filterText.py:49-118, in order:
+    take the part before ``|``; drop ``#...`` self-section links and
+    links equal to the page title; strip ``#tail`` and trailing ``/``;
+    resolve ``/sub`` → ``title/sub`` and ``../x`` via the parent page;
+    classify ``Category...``; drop ``{{var}}`` and ``Image:/Manual:/
+    Extension:`` prefixes; drop interwiki prefixes and invalid
+    namespaces; finally remove all ``:`` from kept links.
+    """
+    links: list[str] = []
+    categories: list[str] = []
+    prefixes = (
+        interwiki_prefixes
+        if isinstance(interwiki_prefixes, (set, frozenset))
+        else frozenset(interwiki_prefixes)
+    )
+
+    for match in _LINK_PATTERN.finditer(text):
+        res = match.group(1).split("|")[0].strip()
+
+        if res.startswith("#") or res == title:
+            continue
+        is_category = False
+
+        res = _HASH_TAIL.sub("", res)
+        res = _TRAILING_SLASH.sub("", res)
+
+        if res.startswith("/"):
+            res = title + res
+        elif res.startswith("../"):
+            father_page = _FATHER_PAGE.sub("", title)
+            # NOTE: the reference does re.sub(r'..', '', res) — an
+            # UNESCAPED '..' pattern that deletes every 2-char window,
+            # i.e. '../test3' → '/tes' + 't3' handling by re.sub
+            # semantics.  Kept verbatim for parity.
+            res = father_page + _DOTDOT.sub("", res)
+        elif res.startswith("Category"):
+            is_category = True
+        elif res.startswith("{{"):
+            res = None
+        elif res.startswith(("Image:", "Manual:", "Extension:")):
+            res = None
+        else:
+            m = _NS_CANDIDATE.search(res)
+            if m is not None:
+                pref = _COLON.sub("", m[0])
+                if pref in prefixes:
+                    res = None
+                else:
+                    for ns_not_valid in _NS_NOT_VALID_SPACED:
+                        if pref == ns_not_valid:
+                            res = None
+
+        if res is not None:
+            if is_category:
+                categories.append(res)
+            else:
+                res = _COLON.sub("", res)
+                links.append(res)
+
+    return {"links": links, "categories": categories}
+
+
+def extract_links_series(texts: pd.Series, titles: pd.Series) -> pd.Series:
+    """Vectorized T2 → Series of list[str] (links only, as the engine uses)."""
+    return pd.Series(
+        [
+            extract_links(t, ti)["links"] if t is not None else []
+            for t, ti in zip(texts, titles)
+        ],
+        index=texts.index,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analyzers (A2/A3) — Whoosh chains re-derived from the published Whoosh
+# 2.7.4 source (github.com/mchaput/whoosh): default tokenizer pattern
+# \w+(\.?\w+)*, STOP_WORDS frozenset, StopFilter minsize=2.
+# ---------------------------------------------------------------------------
+TOKEN_PATTERN = re.compile(r"\w+(?:\.?\w+)*", re.UNICODE)
+
+STOP_WORDS = frozenset((
+    "a", "an", "and", "are", "as", "at", "be", "by", "can", "for", "from",
+    "have", "if", "in", "is", "it", "may", "not", "of", "on", "or", "tbd",
+    "that", "the", "this", "to", "us", "we", "when", "will", "with", "yet",
+    "you", "your",
+))
+
+MIN_TOKEN_SIZE = 2  # StopFilter default minsize
+
+
+def tokenize_simple(text: str) -> list[str]:
+    """A1 ``SimpleAnalyzer_``: tokenize + lowercase (analyzers.py:13-17)."""
+    return [m.group(0).lower() for m in TOKEN_PATTERN.finditer(text)]
+
+
+def analyze_title(text: str) -> list[str]:
+    """A2 ``StandardAnalyzer_`` — title field: tokenize, lowercase,
+    stopword/minsize filter (analyzers.py:20-24; schema index.py:39)."""
+    return [
+        t
+        for t in tokenize_simple(text)
+        if len(t) >= MIN_TOKEN_SIZE and t not in STOP_WORDS
+    ]
+
+
+def analyze_text(text: str) -> list[str]:
+    """A3 ``StemmingAnalyzer_`` — text field: A2 + Porter stem with an
+    unbounded memo (analyzers.py:27-33; schema index.py:38)."""
+    return [stem(t) for t in analyze_title(text)]
+
+
+def analyze_series(texts: pd.Series, field: str) -> pd.Series:
+    """Vectorized analyzer dispatch for pandas UDFs."""
+    fn = analyze_text if field == "text" else analyze_title
+    return pd.Series(
+        [fn(t) if t is not None else [] for t in texts], index=texts.index
+    )
+
+
+ANALYZERS = {"text": analyze_text, "title": analyze_title}

@@ -1,0 +1,103 @@
+"""Byte-identity parity vs the ACTUAL reference kernels.
+
+Loads ``/root/reference/indexing/xmlParsing/filterText.py`` directly
+(with its unimportable deps — requests, whoosh — stubbed out) and
+asserts our re-derived cleaner (T1) and link extractor (T2) produce
+byte-identical output on an adversarial generated corpus.  This is the
+``input_hint`` invariant: byte-identical extracted text per url.
+
+Skipped cleanly if the read-only reference checkout is absent.
+"""
+
+import importlib.util
+import random
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+from search_engine_wikipedia_spark.functions import textproc
+
+REF = Path("/root/reference/indexing/xmlParsing/filterText.py")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not present")
+
+
+@pytest.fixture(scope="module")
+def ref_filter():
+    """Load the reference FilterWikiText with stubbed package deps."""
+    pkg = types.ModuleType("refxml")
+    pkg.__path__ = [str(REF.parent)]
+    sys.modules["refxml"] = pkg
+
+    iw = types.ModuleType("refxml.interwikiLink")
+    iw.getPrefixSet = lambda path: set(textproc.INTERWIKI_PREFIXES)
+    sys.modules["refxml.interwikiLink"] = iw
+
+    sax = types.ModuleType("refxml.saxReader")
+    sax.NS_NOT_VALID = dict(textproc.NS_NOT_VALID)
+    sys.modules["refxml.saxReader"] = sax
+
+    spec = importlib.util.spec_from_file_location("refxml.filterText", REF)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "refxml"
+    sys.modules["refxml.filterText"] = mod
+    spec.loader.exec_module(mod)
+    return mod.FilterWikiText("unused-path")
+
+
+def _adversarial_texts():
+    random.seed(1234)
+    fragments = [
+        "The [[Roman Empire]] was vast. ",
+        "{{cite web|url=http://a.b/c}} ",
+        "{{lang-la|Imperium}} {{reflist|2}} {{commons cat}} {{coord|1|2}} ",
+        "[http://external.site label] and http://bare.url here ",
+        "word.com site.org cosa.it page.en ",
+        "<gallery>\nFile:a.png\nFile:b.png\n</gallery> ",
+        "[[File:pic.png|thumb|caption]] [[Media:snd.ogg]] ",
+        "<ref name=x>cite</ref> <b>bold</b> <div class='y'/> ",
+        "[[Target|display text]] [[#Section]] [[Self]] [[Other#Frag]] ",
+        "[[/subpage]] [[../sibling]] [[Category:Things]] ",
+        "[[{{var}}]] [[Image:x]] [[Manual:y]] [[Extension:z]] ",
+        "[[wikt:word]] [[Talk:Rome]] [[de:Rom]] [[:Escaped]] [[Odd:Name]] ",
+        "pipes | equal = colon : star * bracket [ ] brace { } slash / ",
+        "multi\nline {{lang\nbroken}} text\nhttp://x\n ",
+        "[[Trailing/]] [[Spaced link ]] [[A|b|c]] ",
+        "99 balloons U.S.A. naïve café ",
+    ]
+    texts = []
+    for _ in range(300):
+        k = random.randint(1, 8)
+        texts.append("".join(random.choice(fragments) for _ in range(k)))
+    texts += [f[0] for f in fragments],
+    return texts
+
+
+def test_cleaner_byte_identity(ref_filter):
+    for text in _adversarial_texts():
+        if isinstance(text, list):
+            continue
+        assert textproc.clean_wikitext(text) == ref_filter.getCleaned(text)
+
+
+def test_link_extractor_identity(ref_filter):
+    for i, text in enumerate(_adversarial_texts()):
+        if isinstance(text, list):
+            continue
+        title = "Self" if i % 3 == 0 else f"Page/{i}"
+        ours = textproc.extract_links(text, title)
+        theirs = ref_filter.getLinkAndCategory(text, title)
+        assert ours["links"] == theirs["links"], (text, title)
+        assert ours["categories"] == theirs["categories"], (text, title)
+
+
+def test_startfilter_identity(ref_filter):
+    text = (
+        "The [[Roman Empire]] {{lang-la|Imperium}} ruled. "
+        "[[Category:Empires]] [[File:map.png|thumb]] See [http://x y]."
+    )
+    theirs = ref_filter.startFilter(text, "Roman Empire")
+    assert textproc.clean_wikitext(text) == theirs["text"]
+    assert textproc.extract_links(text, "Roman Empire")["links"] == theirs["links"]
