@@ -92,24 +92,46 @@ def vb_decode(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Posting-list blob:  (sorted doc_ids, tfs, fls)  <->  3 VB byte strings
+# Posting-list blob:  (sorted doc_ids, tfs, fls)  <->  3 VB byte strings.
+#
+# Delta encoding RESTARTS at every block boundary (the first doc of each
+# block is stored absolute).  Combined with per-block byte offsets this
+# gives random block access: the WAND scorer decodes only the blocks
+# whose [first, block_last] range intersects the candidate set.
 # ---------------------------------------------------------------------------
+def _vb_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Number of VB bytes each value will occupy (vectorized)."""
+    nbytes = np.ones(values.shape, dtype=np.int64)
+    v = values >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    return nbytes
+
+
+def _block_offsets(values: np.ndarray, n: int) -> list:
+    """Byte offset of each BLOCK_SIZE-block start within vb_encode(values)."""
+    nbytes = _vb_byte_lengths(values)
+    starts = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    return [int(starts[b]) for b in range(0, n, BLOCK_SIZE)]
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, fls: np.ndarray):
     """Encode one posting list.
 
-    ``doc_ids`` must be sorted ascending and unique.  Returns
+    ``doc_ids`` must be sorted ascending and unique.  Returns a tuple
     ``(doc_blob, tf_blob, fl_blob, block_last, block_max_tf,
-    block_min_fl)`` where the block arrays hold per-``BLOCK_SIZE``-chunk
-    metadata for block-max WAND.
+    block_min_fl, block_doc_off, block_tf_off, block_fl_off)``.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint64)
     fls = np.asarray(fls, dtype=np.uint64)
+    n = doc_ids.size
     gaps = np.empty_like(doc_ids)
-    if doc_ids.size:
+    if n:
         gaps[0] = doc_ids[0]
         np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
-    n = doc_ids.size
+        gaps[np.arange(0, n, BLOCK_SIZE)] = doc_ids[np.arange(0, n, BLOCK_SIZE)]
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     block_last = np.empty(nblocks, dtype=np.int64)
     block_max_tf = np.empty(nblocks, dtype=np.int64)
@@ -126,16 +148,69 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, fls: np.ndarray):
         block_last.tolist(),
         block_max_tf.tolist(),
         block_min_fl.tolist(),
+        _block_offsets(gaps, n),
+        _block_offsets(tfs, n),
+        _block_offsets(fls, n),
     )
 
 
+def _undelta_blocked(gaps: np.ndarray) -> np.ndarray:
+    """Grouped cumsum with per-block restart (first of block absolute)."""
+    n = gaps.size
+    if n == 0:
+        return gaps.astype(np.int64)
+    c = np.cumsum(gaps.astype(np.int64))
+    starts = np.arange(0, n, BLOCK_SIZE)
+    # sum of everything before each block start
+    base = c[starts] - gaps[starts].astype(np.int64)
+    sizes = np.diff(np.append(starts, n))
+    return c - np.repeat(base, sizes)
+
+
 def decode_postings(doc_blob: bytes, tf_blob: bytes, fl_blob: bytes):
-    """Decode one posting list → (doc_ids, tfs, fls) int64 arrays."""
+    """Decode a full posting list → (doc_ids, tfs, fls) int64 arrays."""
     gaps = vb_decode(doc_blob)
-    doc_ids = np.cumsum(gaps.astype(np.int64))
+    doc_ids = _undelta_blocked(gaps)
     tfs = vb_decode(tf_blob).astype(np.int64)
     fls = vb_decode(fl_blob).astype(np.int64)
     return doc_ids, tfs, fls
+
+
+def decode_blocks(
+    doc_blob: bytes,
+    tf_blob: bytes,
+    fl_blob: bytes,
+    block_doc_off: list,
+    block_tf_off: list,
+    block_fl_off: list,
+    n_postings: int,
+    block_indices: np.ndarray,
+):
+    """Decode only the selected blocks (sorted indices) of a posting list.
+
+    Returns (doc_ids, tfs, fls) restricted to those blocks — the
+    random-access path used by the block-max scorer to skip blocks.
+    """
+    nblocks = len(block_doc_off)
+    d_end = list(block_doc_off[1:]) + [len(doc_blob)]
+    t_end = list(block_tf_off[1:]) + [len(tf_blob)]
+    f_end = list(block_fl_off[1:]) + [len(fl_blob)]
+    doc_parts, tf_parts, fl_parts = [], [], []
+    for b in block_indices:
+        b = int(b)
+        gaps = vb_decode(doc_blob[block_doc_off[b]:d_end[b]])
+        doc_parts.append(np.cumsum(gaps.astype(np.int64)))  # first is absolute
+        tf_parts.append(vb_decode(tf_blob[block_tf_off[b]:t_end[b]]).astype(np.int64))
+        fl_parts.append(vb_decode(fl_blob[block_fl_off[b]:f_end[b]]).astype(np.int64))
+    if not doc_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    del nblocks, n_postings
+    return (
+        np.concatenate(doc_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(fl_parts),
+    )
 
 
 def merge_encoded_segments(segments):
@@ -144,7 +219,8 @@ def merge_encoded_segments(segments):
     ``segments``: iterable of (doc_blob, tf_blob, fl_blob).  Doc IDs are
     globally unique across segments (a doc lives in exactly one
     segment), so the merge is decode → concat → argsort → re-encode.
-    Returns the ``encode_postings`` tuple for the merged list.
+    Returns decoded, globally sorted (doc_ids, tfs, fls) so the caller
+    can re-encode whole or in shards.
     """
     doc_parts, tf_parts, fl_parts = [], [], []
     for doc_blob, tf_blob, fl_blob in segments:
@@ -156,4 +232,4 @@ def merge_encoded_segments(segments):
     tfs = np.concatenate(tf_parts)
     fls = np.concatenate(fl_parts)
     order = np.argsort(doc_ids, kind="stable")
-    return encode_postings(doc_ids[order], tfs[order], fls[order])
+    return doc_ids[order], tfs[order], fls[order]

@@ -1,0 +1,486 @@
+"""Distributed inverted-index build (SPIMI → salted merge → stats).
+
+Pipeline (each stage is a committed catalog table; SURVEY.md §3.1):
+
+  pages ──filter S2/S3──► docs (clean T1 + links T2, dense doc_ids)
+        ──tokenize A2/A3, map-side tf──► term_freqs (seg-partitioned)
+        ──groupBy(term,field,seg) encode──► postings_seg   [SPIMI]
+        ──groupBy(term,field,shard) merge──► postings      [salted]
+        └─► doc_stats / field_stats
+
+Reference analogue: ``writer(limitmb=2048, procs=4, multisegment=True)``
+(``indexing/index.py:120``) builds per-process segments with no global
+merge; our build DOES the global merge (north_rule) and handles
+head-term skew *by construction*: a term whose global df exceeds
+``shard_size`` is merged into multiple doc-range shards, one per salted
+reduce group, so no single reduce task ever sees more than
+``~shard_size`` postings.  Per-segment lineage rows make the segment
+phase resumable (re-run only missing segments).
+
+Scale notes (the 100 TB story):
+* the only wide exchanges are (1) the dense-id range partition,
+  (2) groupBy(term,field,seg_id) and (3) groupBy(term,field,salt) —
+  all keyed fine-grained, skew-free by construction;
+* tf is combined map-side inside the tokenizer UDF (one row per
+  (doc,term), not per token occurrence) before shuffle (1);
+* all per-row text work is Arrow-batched pandas — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions import codec
+from ..functions.textproc import (
+    analyze_text,
+    analyze_title,
+    clean_wikitext_series,
+    extract_links_series,
+)
+from ..sources import catalog
+
+TEXT_FIELD, TITLE_FIELD = "text", "title"
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — docs: filters, title derivation, clean text, links, dense ids
+# ---------------------------------------------------------------------------
+def docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
+    """pages → (url, title, clean_text, links).
+
+    Filters mirror the reference scan guards: language filter (namespace
+    filter analogue, saxReader.py:113-114) and the ``#REDIRECT`` drop
+    (saxReader.py:120-123).  Both are native Spark predicates — pushed
+    to the parquet/Iceberg scan by Catalyst, ahead of the pandas UDFs.
+    """
+    filtered = (
+        pages
+        .where(F.col("lang") == lang)
+        .where(~F.coalesce(F.col("text"), F.lit("")).startswith("#REDIRECT"))
+        # title ≙ last path segment, '_' → ' ' (searcher.py:27,112 inverse)
+        .withColumn(
+            "title",
+            F.regexp_replace(
+                F.element_at(F.split(F.col("url"), "/"), -1), "_", " "
+            ),
+        )
+        .dropDuplicates(["url"])
+    )
+
+    def derive(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = pd.DataFrame({
+                "url": pdf["url"],
+                "title": pdf["title"],
+                "clean_text": clean_wikitext_series(pdf["text"]),
+                "links": extract_links_series(pdf["text"], pdf["title"]),
+            })
+            yield out
+
+    return filtered.select("url", "title", "text").mapInPandas(
+        derive,
+        schema="url string, title string, clean_text string, links array<string>",
+    )
+
+
+def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None) -> DataFrame:
+    """Deterministic dense doc_id = rank of ``key`` in global sort order.
+
+    Scalable two-pass dense rank (NO single-task window): range-partition
+    by key, count per partition, broadcast the offsets, then number rows
+    within each sorted partition.  Deterministic for a given input set
+    regardless of parallelism.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(n_parts, F.col(key)).sortWithinPartitions(key)
+    parted = parted.cache()
+    counts = (
+        parted.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    sizes = {int(r["pid"]): int(r["count"]) for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = "doc_id long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def number(batches: Iterable[pd.DataFrame]):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = b_offsets.value[pid]
+        for pdf in batches:
+            ids = np.arange(nxt, nxt + len(pdf), dtype=np.int64)
+            nxt += len(pdf)
+            pdf = pdf.copy()
+            pdf.insert(0, "doc_id", ids)
+            yield pdf
+
+    numbered = parted.mapInPandas(number, schema=out_schema)
+    return numbered
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — term frequencies (I1: the partial, map-side tf aggregation)
+# ---------------------------------------------------------------------------
+def term_freqs(docs: DataFrame, n_segments: int, n_docs: int) -> DataFrame:
+    """docs → (term, field, doc_id, tf, fl, seg_id).
+
+    Tokenization (A2/A3) and the per-document tf count happen inside one
+    Arrow batch — the shuffle that follows carries one row per unique
+    (doc, term), not per token occurrence (map-side combine).
+    ``seg_id`` is the document's range bucket: doc ranges are contiguous
+    per segment, which later lets merged shards stay doc-sorted by
+    construction.
+    """
+    seg_of = F.least(
+        F.lit(n_segments - 1),
+        (F.col("doc_id") * n_segments / F.lit(n_docs)).cast("int"),
+    )
+
+    def emit(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            frames = []
+            for field, col, analyzer in (
+                (TEXT_FIELD, "clean_text", analyze_text),
+                (TITLE_FIELD, "title", analyze_title),
+            ):
+                toks = pdf[col].map(lambda s: analyzer(s) if s is not None else [])
+                fl = toks.map(len).astype("int32")
+                tmp = pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "fl": fl,
+                    "term": toks,
+                })
+                tmp = tmp.explode("term")
+                tmp = tmp[tmp["term"].notna()]
+                if len(tmp) == 0:
+                    continue
+                g = (
+                    tmp.groupby(["doc_id", "fl", "term"], sort=False)
+                    .size().rename("tf").reset_index()
+                )
+                g["field"] = field
+                frames.append(g)
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+                yield pd.DataFrame({
+                    "term": out["term"].astype(str),
+                    "field": out["field"],
+                    "doc_id": out["doc_id"].astype("int64"),
+                    "tf": out["tf"].astype("int32"),
+                    "fl": out["fl"].astype("int32"),
+                })
+
+    tf = docs.select("doc_id", "title", "clean_text").mapInPandas(
+        emit, schema=schemas.TERM_FREQS
+    )
+    return tf.withColumn("seg_id", seg_of)
+
+
+def doc_stats_from_tf(docs: DataFrame, tf: DataFrame) -> DataFrame:
+    """Per-doc analyzed field lengths (BM25 ``fl``); 0 where no tokens."""
+    per_field = (
+        tf.groupBy("doc_id", "field").agg(F.first("fl").alias("fl"))
+        .groupBy("doc_id")
+        .pivot("field", [TEXT_FIELD, TITLE_FIELD]).agg(F.first("fl"))
+        .withColumnsRenamed({TEXT_FIELD: "len_text", TITLE_FIELD: "len_title"})
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_field, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("len_text", F.lit(0)).cast("int").alias("len_text"),
+            F.coalesce("len_title", F.lit(0)).cast("int").alias("len_title"),
+        )
+    )
+
+
+def field_stats_from_doc_stats(doc_stats: DataFrame) -> DataFrame:
+    """Global per-field stats: total_len, doc_count, avg_len.
+
+    BM25 semantics (Whoosh ``avg_field_length``): avg = total field
+    tokens / doc_count_all — computed GLOBALLY, before any scoring.
+    """
+    agg = doc_stats.agg(
+        F.sum("len_text").alias("t"),
+        F.sum("len_title").alias("ti"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n = int(agg["n"]) or 1
+    spark = doc_stats.sparkSession
+    rows = [
+        {"field": TEXT_FIELD, "total_len": int(agg["t"] or 0),
+         "doc_count": int(agg["n"]), "avg_len": (int(agg["t"] or 0)) / n},
+        {"field": TITLE_FIELD, "total_len": int(agg["ti"] or 0),
+         "doc_count": int(agg["n"]), "avg_len": (int(agg["ti"] or 0)) / n},
+    ]
+    return spark.createDataFrame(rows, schema=schemas.FIELD_STATS)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — SPIMI segments: groupBy(term, field, seg).applyInPandas(encode)
+# ---------------------------------------------------------------------------
+def build_segments(tf: DataFrame) -> DataFrame:
+    """Encode one posting blob per (term, field, seg_id)."""
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+        fls = pdf["fl"].to_numpy()[order].astype(np.uint64)
+        (d_blob, t_blob, f_blob, bl, bmt, bmf, d_off, t_off, f_off) = (
+            codec.encode_postings(doc_ids, tfs, fls)
+        )
+        return pd.DataFrame([{
+            "term": pdf["term"].iat[0],
+            "field": pdf["field"].iat[0],
+            "seg_id": int(pdf["seg_id"].iat[0]),
+            "df": int(len(doc_ids)),
+            "cf": int(tfs.sum()),
+            "doc_ids": d_blob, "tfs": t_blob, "fls": f_blob,
+            "block_last": bl, "block_max_tf": bmt, "block_min_fl": bmf,
+            "block_doc_off": d_off, "block_tf_off": t_off, "block_fl_off": f_off,
+        }])
+
+    return tf.groupBy("term", "field", "seg_id").applyInPandas(
+        encode_group, schema=schemas.POSTINGS_SEG
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — global merge with explicit head-term salting → sharded postings
+# ---------------------------------------------------------------------------
+def merge_segments(
+    postings_seg: DataFrame,
+    n_segments: int,
+    shard_size: int = 1_000_000,
+    max_shards: int = 64,
+) -> DataFrame:
+    """postings_seg → globally merged, doc-range-sharded postings.
+
+    Skew handling (north_rule): global df per (term, field) is computed
+    first; a head term with df > shard_size gets S = ceil(df/shard_size)
+    (≤ max_shards, ≤ n_segments) salted reduce groups.  Salt =
+    seg_id·S/n_segments is *monotone in seg_id* and segments hold
+    contiguous doc ranges, so each salted group merges a contiguous,
+    disjoint doc range — the group output IS the final shard, no second
+    shuffle or concat pass needed.
+    """
+    totals = postings_seg.groupBy("term", "field").agg(
+        F.sum("df").cast("int").alias("term_df"),
+        F.sum("cf").cast("long").alias("term_cf"),
+    )
+    seg = postings_seg.join(totals, ["term", "field"])
+    n_shards = F.least(
+        F.lit(max_shards),
+        F.lit(n_segments),
+        F.greatest(F.lit(1), F.ceil(F.col("term_df") / F.lit(shard_size))),
+    ).cast("int")
+    seg = seg.withColumn("n_shards", n_shards).withColumn(
+        "shard_id",
+        (F.col("seg_id").cast("long") * F.col("n_shards") / F.lit(n_segments))
+        .cast("int"),
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg_id")
+        doc_ids, tfs, fls = codec.merge_encoded_segments(
+            zip(pdf["doc_ids"], pdf["tfs"], pdf["fls"])
+        )
+        (d_blob, t_blob, f_blob, bl, bmt, bmf, d_off, t_off, f_off) = (
+            codec.encode_postings(doc_ids, tfs, fls)
+        )
+        return pd.DataFrame([{
+            "term": pdf["term"].iat[0],
+            "field": pdf["field"].iat[0],
+            "shard_id": int(pdf["shard_id"].iat[0]),
+            "n_shards": int(pdf["n_shards"].iat[0]),
+            "term_df": int(pdf["term_df"].iat[0]),
+            "term_cf": int(pdf["term_cf"].iat[0]),
+            "df": int(len(doc_ids)),
+            "cf": int(tfs.sum()),
+            "doc_ids": d_blob, "tfs": t_blob, "fls": f_blob,
+            "block_last": bl, "block_max_tf": bmt, "block_min_fl": bmf,
+            "block_doc_off": d_off, "block_tf_off": t_off, "block_fl_off": f_off,
+            "src_segs": [int(s) for s in pdf["seg_id"]],
+        }])
+
+    return seg.groupBy("term", "field", "shard_id").applyInPandas(
+        merge_group, schema=schemas.POSTINGS
+    )
+
+
+N_TERM_BUCKETS = 32  # term partition count; 4096 on a 100 TB deployment
+
+
+def with_term_bucket(postings: DataFrame, n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+    """Hidden-partitioning analogue: tbucket = xxhash64(term) mod N.
+
+    The postings table is written partitioned by tbucket so a query
+    touches only |query terms| partitions (partition pruning on the
+    scan) — the parquet stand-in for Iceberg's bucket(term).
+    """
+    return postings.withColumn(
+        "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: build / resume
+# ---------------------------------------------------------------------------
+class IndexBuilder:
+    """End-to-end build with per-stage commit + per-segment resume.
+
+    Reference analogue: ``WikiIndex.openOrBuild`` (index.py:65-84) /
+    ``build`` (index.py:87-153).  ``metrics`` collects per-stage
+    wall-clock and docs/sec, mirroring the timing prints at
+    index.py:122-146.
+    """
+
+    STAGES = ("docs", "term_freqs", "doc_stats", "field_stats",
+              "postings_seg", "postings")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        n_segments: int = 8,
+        shard_size: int = 1_000_000,
+        segment_batches: int = 1,
+        n_term_buckets: int = N_TERM_BUCKETS,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_segments = n_segments
+        self.shard_size = shard_size
+        self.segment_batches = segment_batches
+        self.n_term_buckets = n_term_buckets
+        self.metrics: dict[str, float] = {}
+
+    # -- individual stages ---------------------------------------------------
+    def _timed(self, name, fn):
+        import time as _t
+
+        t0 = _t.perf_counter()
+        out = fn()
+        self.metrics[name] = _t.perf_counter() - t0
+        return out
+
+    def build(self, pages: DataFrame, resume: bool = True) -> None:
+        root = self.index_dir
+        spark = self.spark
+
+        if not (resume and catalog.is_complete(root, "docs")):
+            def _docs():
+                docs = assign_doc_ids(docs_from_pages(pages))
+                catalog.write_table(docs, root, "docs")
+                n = catalog.read_table(spark, root, "docs").count()
+                catalog.append_lineage(spark, root, [
+                    {"stage": "docs", "n_docs": n}
+                ])
+                return n
+            self._timed("docs", _docs)
+
+        docs = catalog.read_table(spark, root, "docs")
+        n_docs = docs.count()
+        self.n_docs = n_docs
+
+        if not (resume and catalog.is_complete(root, "term_freqs")):
+            def _tf():
+                tf = term_freqs(docs, self.n_segments, n_docs)
+                catalog.write_table(tf, root, "term_freqs",
+                                    partition_by=["seg_id"])
+            self._timed("term_freqs", _tf)
+        tf = catalog.read_table(spark, root, "term_freqs")
+
+        if not (resume and catalog.is_complete(root, "doc_stats")):
+            def _ds():
+                ds = doc_stats_from_tf(docs, tf)
+                catalog.write_table(ds, root, "doc_stats")
+            self._timed("doc_stats", _ds)
+        doc_stats = catalog.read_table(spark, root, "doc_stats")
+
+        if not (resume and catalog.is_complete(root, "field_stats")):
+            def _fs():
+                fs = field_stats_from_doc_stats(doc_stats)
+                catalog.write_table(fs, root, "field_stats")
+            self._timed("field_stats", _fs)
+
+        self._build_segments_resumable(tf, resume)
+
+        if not (resume and catalog.is_complete(root, "postings")):
+            def _merge():
+                seg = catalog.read_table(spark, root, "postings_seg")
+                merged = merge_segments(
+                    seg, self.n_segments, shard_size=self.shard_size
+                )
+                merged = with_term_bucket(merged, self.n_term_buckets)
+                catalog.write_table(merged, root, "postings",
+                                    partition_by=["tbucket"])
+                stats = catalog.read_table(spark, root, "postings").agg(
+                    F.count("*"), F.sum("df")).collect()[0]
+                catalog.append_lineage(spark, root, [{
+                    "stage": "postings",
+                    "n_terms": int(stats[0]),
+                    "n_docs": int(stats[1] or 0),
+                }])
+            self._timed("postings", _merge)
+
+    def _build_segments_resumable(self, tf: DataFrame, resume: bool) -> None:
+        """Segment phase in ``segment_batches`` committed batches: lineage
+        rows land after each batch, so a killed build re-runs only the
+        segments with no lineage row (checkpointed segment builds)."""
+        root, spark = self.index_dir, self.spark
+        if resume and catalog.is_complete(root, "postings_seg"):
+            return
+
+        done = catalog.completed_segments(spark, root, "postings_seg") if resume else set()
+        all_segs = list(range(self.n_segments))
+        missing = [s for s in all_segs if s not in done]
+        if len(missing) == len(all_segs):
+            # fresh build (or resume with zero completed segments):
+            # clear any partial, uncommitted output
+            catalog.drop_table(root, "postings_seg")
+
+        def _segs():
+            per_batch = max(1, math.ceil(len(missing) / self.segment_batches))
+            for b in range(0, len(missing), per_batch):
+                batch = missing[b:b + per_batch]
+                seg_df = build_segments(tf.where(F.col("seg_id").isin(batch)))
+                (seg_df.write.mode("append")
+                    .partitionBy("seg_id")
+                    .parquet(catalog.table_path(root, "postings_seg")))
+                rows = (
+                    spark.read.parquet(catalog.table_path(root, "postings_seg"))
+                    .where(F.col("seg_id").isin(batch))
+                    .groupBy("seg_id")
+                    .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n"))
+                    .collect()
+                )
+                catalog.append_lineage(spark, root, [
+                    {"stage": "postings_seg", "seg_id": int(r["seg_id"]),
+                     "n_terms": int(r["n_terms"]), "n_docs": int(r["n"])}
+                    for r in rows
+                ])
+            catalog.commit(catalog.table_path(root, "postings_seg"))
+
+        if missing:
+            self._timed("postings_seg", _segs)
+        else:
+            catalog.commit(catalog.table_path(root, "postings_seg"))

@@ -1,0 +1,487 @@
+"""Query parsing, execution, PageRank blend, result assembly.
+
+Re-derivation of the reference query lifecycle
+(``indexing/searching/searcher.py:61-142``):
+
+1. multifield parse: each whitespace token → ``(text:analyzed OR
+   title:analyzed)`` with per-field boosts (MultifieldPlugin;
+   ``searcher.py:53-55,:86``); tokens grouped by AND (default) or OR
+   (``searcher.py:23-25,:87``); a token whose analysis is empty in a
+   field (stopword) drops that field term, and the token disappears
+   entirely if both analyses are empty (Whoosh qparser behavior),
+2. optional expansion: ``( orig ) OR ( syn1 OR syn2 … )^0.5``
+   (``queryExpansion.py:161-174``) — the 0.5 group boost multiplies the
+   synonym term boosts,
+3. top-k by the selected weighting model (BM25F default),
+4. optional PageRank blend: for the k results only, ``mult =
+   round(1 + (pr/max_pr_in_results)^4, 5)``, ``final = score·mult``,
+   then a stable re-sort by final desc (``searcher.py:108-118,:123-142``,
+   ``graph.py:178-211``).  NOTE the reference multiplies by the
+   5-decimal-ROUNDED value from ``getRank(ids, 5)`` — reproduced here.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textproc import analyze_text, analyze_title
+from ..operators import wand
+from ..operators.wand import And, GlobalStats, Or, PostingList, Scorer, Term, Weighting
+from ..sources import catalog
+from . import expansion as expansion_mod
+
+BASE_URL = "https://en.wikipedia.org/wiki/"  # searcher.py:27
+PR_ALPHA = 4  # graph.py:194
+PR_ROUND = 5  # searcher.py:135
+
+
+# ---------------------------------------------------------------------------
+# Parser (Q1/Q2)
+# ---------------------------------------------------------------------------
+def token_node(word: str, text_boost: float, title_boost: float) -> Or | None:
+    """One query word → Or([text:stemmed, title:token]) (multifield)."""
+    terms = []
+    t_text = analyze_text(word)
+    t_title = analyze_title(word)
+    if t_text:
+        terms.append(Term("text", t_text[0], text_boost))
+    if t_title:
+        terms.append(Term("title", t_title[0], title_boost))
+    if not terms:
+        return None
+    return Or(terms)
+
+
+def parse_query(
+    text: str,
+    group: str = "AND",
+    text_boost: float = 1.0,
+    title_boost: float = 1.0,
+    expand: bool = False,
+    expander: expansion_mod.Expander | None = None,
+):
+    """→ (tree, expansion_tokens)."""
+    exp_tokens: list[str] = []
+    if expand:
+        expander = expander or expansion_mod.Expander()
+        exp_tokens = expander.expansion(text)
+
+    nodes = [token_node(w, text_boost, title_boost) for w in text.split()]
+    nodes = [n for n in nodes if n is not None]
+    if not nodes:
+        orig = None
+    elif len(nodes) == 1:
+        orig = nodes[0]
+    else:
+        orig = And(nodes) if group == "AND" else Or(nodes)
+
+    if expand and exp_tokens:
+        syn_nodes = [
+            token_node(w, text_boost * 0.5, title_boost * 0.5)
+            for w in exp_tokens
+        ]
+        syn_nodes = [n for n in syn_nodes if n is not None]
+        if syn_nodes:
+            syn_group = Or(syn_nodes) if len(syn_nodes) > 1 else syn_nodes[0]
+            orig = Or([orig, syn_group]) if orig is not None else syn_group
+    return orig, exp_tokens
+
+
+def tree_terms(node) -> list[Term]:
+    if node is None:
+        return []
+    if isinstance(node, Term):
+        return [node]
+    out = []
+    for c in node.children:
+        out.extend(tree_terms(c))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Index handle: loads the catalog tables, binds postings to query trees
+# ---------------------------------------------------------------------------
+POSTING_COLS = [
+    "term", "field", "shard_id", "n_shards", "term_df", "df",
+    "doc_ids", "tfs", "fls", "block_last", "block_max_tf", "block_min_fl",
+    "block_doc_off", "block_tf_off", "block_fl_off",
+]
+
+
+@dataclass
+class IndexStats:
+    n_docs: int
+    avg_len: dict
+
+
+class SearchIndex:
+    """Open a built index (reference ``openOrBuild`` read path)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_terms: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings = catalog.read_table(spark, index_dir, "postings")
+        fs = catalog.read_table(spark, index_dir, "field_stats").collect()
+        n_docs = int(fs[0]["doc_count"])
+        self.stats = GlobalStats(
+            n_docs=n_docs,
+            avg_len={r["field"]: (float(r["avg_len"]) or 1.0) for r in fs},
+        )
+        # Whoosh avg_field_length falls back to 1 when 0
+        for k, v in self.stats.avg_len.items():
+            if v == 0:
+                self.stats.avg_len[k] = 1.0
+        self._term_cache: dict = {} if cache_terms else None
+        self._pagerank = None
+        self._docs = None
+        self.n_term_buckets = self._detect_buckets()
+
+    def _detect_buckets(self) -> int:
+        import os
+        root = catalog.table_path(self.index_dir, "postings")
+        return max(
+            (int(d.split("=")[1]) for d in os.listdir(root)
+             if d.startswith("tbucket=")),
+            default=0,
+        ) + 1
+
+    # -- postings fetch ------------------------------------------------------
+    def fetch_postings(self, keys: list[tuple[str, str]]) -> dict:
+        """(field, term) → PostingList, one pruned parquet scan.
+
+        Partition pruning: the scan is filtered to the xxhash-buckets of
+        the requested terms, then to the term/field values (both reach
+        the parquet reader as pushed filters).
+        """
+        missing = [k for k in keys
+                   if self._term_cache is None or k not in self._term_cache]
+        out = {}
+        if missing:
+            terms = sorted({t for _, t in missing})
+            fields = sorted({f for f, _ in missing})
+            cond = F.col("term").isin(terms) & F.col("field").isin(fields)
+            if self.n_term_buckets:
+                buckets = (
+                    self.spark.createDataFrame(
+                        [(t,) for t in terms], "term string")
+                    .select(F.pmod(F.xxhash64("term"),
+                                   F.lit(self.n_term_buckets)).cast("int")
+                            .alias("b"))
+                    .distinct().collect()
+                )
+                cond = F.col("tbucket").isin([r["b"] for r in buckets]) & cond
+            rows = self.postings.where(cond).select(*POSTING_COLS).collect()
+            grouped: dict = {}
+            for r in rows:
+                grouped.setdefault((r["field"], r["term"]), []).append(r)
+            for k in missing:
+                pl = PostingList.from_rows(k[0], k[1], grouped.get(k, []))
+                if self._term_cache is not None:
+                    self._term_cache[k] = pl
+                out[k] = pl
+        if self._term_cache is not None:
+            for k in keys:
+                out[k] = self._term_cache[k]
+        return out
+
+    def bind(self, tree) -> None:
+        terms = tree_terms(tree)
+        plists = self.fetch_postings([(t.field, t.text) for t in terms])
+        for t in terms:
+            t.plist = plists[(t.field, t.text)]
+
+    # -- auxiliary tables ------------------------------------------------
+    def pagerank_for(self, doc_ids: list[int]) -> dict[int, float]:
+        if self._pagerank is None:
+            path = catalog.table_path(self.index_dir, "pagerank")
+            import os
+            if not os.path.exists(path):
+                return {}
+            self._pagerank = catalog.read_table(
+                self.spark, self.index_dir, "pagerank")
+        rows = self._pagerank.where(
+            F.col("doc_id").isin([int(d) for d in doc_ids])
+        ).collect()
+        return {int(r["doc_id"]): float(r["pr"]) for r in rows}
+
+    def doc_meta(self, doc_ids: list[int]) -> dict[int, dict]:
+        if self._docs is None:
+            self._docs = catalog.read_table(self.spark, self.index_dir, "docs")
+        rows = (
+            self._docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("doc_id", "url", "title", "clean_text").collect()
+        )
+        return {int(r["doc_id"]): r.asDict() for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# PageRank blend (Q7) — shared by driver & batched paths
+# ---------------------------------------------------------------------------
+def blend_pagerank(doc_ids, scores, pr_map: dict[int, float]):
+    """Reference __combinedScore + getRank semantics on the top-k rows.
+
+    mult(doc) = round(1 + (pr/max_rel)^alpha, 5); missing doc → raw 1
+    (searcher.py:139 ``values_page_rank.get(id, 1)``); final =
+    score · mult; stable re-sort by final desc keeps the BM25
+    (score desc, doc asc) order for ties (python ``sorted`` is stable,
+    searcher.py:110).
+    Returns (order, final_scores, mult_values).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return np.arange(0), np.asarray(scores), {}
+    prs = [pr_map.get(int(d)) for d in doc_ids]
+    present = [p for p in prs if p is not None]
+    mults = np.ones(n, dtype=np.float64)
+    mult_map = {}
+    if present:
+        max_rel = max(present)
+        for i, (d, p) in enumerate(zip(doc_ids, prs)):
+            if p is not None:
+                normalized = p / max_rel if max_rel else 0.0
+                m = round(1.0 + normalized ** PR_ALPHA, PR_ROUND)
+                mults[i] = m
+                mult_map[int(d)] = m
+    final = np.asarray(scores, dtype=np.float64) * mults
+    order = np.argsort(-final, kind="stable")
+    return order, final, mult_map
+
+
+# ---------------------------------------------------------------------------
+# Searcher (interactive, driver-side kernel)
+# ---------------------------------------------------------------------------
+class WikiSearcher:
+    """Reference ``WikiSearcher.search`` surface (searcher.py:61-120)."""
+
+    def __init__(self, index: SearchIndex,
+                 expander: expansion_mod.Expander | None = None):
+        self.index = index
+        self.expander = expander or expansion_mod.Expander()
+
+    def search(
+        self,
+        text: str,
+        limit: int = 10,
+        exp: bool = True,
+        page_rank: bool = True,
+        text_boost: float = 1.0,
+        title_boost: float = 1.0,
+        weighting: str = Weighting.BM25F,
+        group: str = "AND",
+        with_meta: bool = True,
+    ) -> dict:
+        t0 = time.perf_counter()
+        tree, exp_tokens = parse_query(
+            text, group=group, text_boost=text_boost,
+            title_boost=title_boost, expand=exp, expander=self.expander,
+        )
+        if tree is None:
+            return {"time_second": 0.0, "expanded": exp_tokens if exp else [],
+                    "n_res": 0, "docs": []}
+        self.index.bind(tree)
+        scorer = Scorer(self.index.stats, model=weighting)
+        doc_ids, scores, n_res = scorer.topk(tree, limit)
+        runtime = time.perf_counter() - t0
+
+        pr_map = self.index.pagerank_for(doc_ids.tolist()) if page_rank else {}
+        order, final, mult_map = blend_pagerank(doc_ids, scores, pr_map) \
+            if page_rank else (np.arange(doc_ids.size), scores, {})
+
+        docs_out = []
+        meta = self.index.doc_meta(doc_ids.tolist()) if with_meta else {}
+        q_tokens = [t.text for t in tree_terms(tree) if t.field == "text"]
+        for i in order:
+            d = int(doc_ids[i])
+            m = meta.get(d, {})
+            docs_out.append({
+                "doc_id": d,
+                "link": m.get("url", BASE_URL),
+                "title": m.get("title", ""),
+                "highlight": make_highlight(m.get("clean_text", ""), q_tokens)
+                if with_meta else "",
+                "final_score": float(final[i]),
+                "score": float(scores[i]),
+                # searcher.py:117: rounded multiplier, or -1 if absent
+                "page_rank": mult_map.get(d, -1) if page_rank else "Disabled",
+            })
+        return {
+            "time_second": runtime,
+            "expanded": exp_tokens if exp else [],
+            "n_res": int(n_res),
+            "docs": docs_out,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Highlights (Q8) — display-only fragmenter
+# ---------------------------------------------------------------------------
+def make_highlight(clean_text: str, stemmed_terms: list[str],
+                   top: int = 2, context: int = 40) -> str:
+    """Top-``top`` fragments around stemmed-term hits, joined by '...'.
+
+    Simplified analogue of Whoosh ``result.highlights("text", top=2)``
+    (searcher.py:115): fragments are char windows around token matches,
+    ranked by distinct matched terms.  Display-only (not part of the
+    rank-identity surface).
+    """
+    if not clean_text or not stemmed_terms:
+        return ""
+    import re as _re
+
+    want = set(stemmed_terms)
+    frags = []
+    from ..functions.porter import stem as _stem
+
+    for m in _re.finditer(r"\w+(?:\.?\w+)*", clean_text):
+        tok = m.group(0).lower()
+        if len(tok) >= 2 and _stem(tok) in want:
+            lo = max(0, m.start() - context)
+            hi = min(len(clean_text), m.end() + context)
+            frags.append((lo, hi))
+        if len(frags) >= top * 4:
+            break
+    if not frags:
+        return ""
+    merged = []
+    for lo, hi in frags:
+        if merged and lo <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return "...".join(clean_text[lo:hi] for lo, hi in merged[:top])
+
+
+# ---------------------------------------------------------------------------
+# Batched query evaluation — one distributed job for a query set
+# ---------------------------------------------------------------------------
+def search_batch(
+    index: SearchIndex,
+    queries: list[str],
+    limit: int = 10,
+    exp: bool = True,
+    page_rank: bool = True,
+    group: str = "AND",
+    weighting: str = Weighting.BM25F,
+) -> DataFrame:
+    """Evaluate many queries in ONE Spark job (the scalable path).
+
+    Plan: build each query's tree on the driver (tiny), ship the
+    (query, field, term) fan-out as a DataFrame, join it against the
+    term-partitioned postings (broadcast the fan-out side — it is a few
+    hundred rows), then ``groupBy(query_id).applyInPandas`` runs the
+    same block-max kernel per query with only that query's postings.
+    Returns (query_id, query, rank, doc_id, score, final_score).
+    """
+    spark = index.spark
+    trees = {}
+    fanout_rows = []
+    for qid, q in enumerate(queries):
+        tree, _ = parse_query(q, group=group, expand=exp)
+        trees[qid] = (q, tree)
+        for t in tree_terms(tree) if tree is not None else []:
+            fanout_rows.append((qid, t.field, t.text))
+    fan = spark.createDataFrame(
+        fanout_rows, "query_id int, field string, term string"
+    )
+    joined = index.postings.join(
+        F.broadcast(fan), ["field", "term"], "inner"
+    ).select("query_id", *POSTING_COLS)
+
+    stats = index.stats
+    trees_b = spark.sparkContext.broadcast(
+        {qid: (q, _tree_spec(tree)) for qid, (q, tree) in trees.items()}
+    )
+
+    out_schema = (
+        "query_id int, query string, rank int, doc_id long, "
+        "score double, n_res long"
+    )
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iat[0])
+        q, spec = trees_b.value[qid]
+        tree = _tree_from_spec(spec)
+        rows_by_key: dict = {}
+        for r in pdf.to_dict("records"):
+            rows_by_key.setdefault((r["field"], r["term"]), []).append(r)
+        for t in tree_terms(tree):
+            t.plist = PostingList.from_rows(
+                t.field, t.text, rows_by_key.get((t.field, t.text), [])
+            )
+        scorer = Scorer(stats, model=weighting)
+        doc_ids, scores, n_res = scorer.topk(tree, limit)
+        return pd.DataFrame({
+            "query_id": qid,
+            "query": q,
+            "rank": np.arange(1, doc_ids.size + 1, dtype=np.int32),
+            "doc_id": doc_ids.astype(np.int64),
+            "score": scores,
+            "n_res": np.int64(n_res),
+        })
+
+    results = joined.groupBy("query_id").applyInPandas(
+        run_query, schema=out_schema
+    )
+
+    if not page_rank:
+        return results.withColumn("final_score", F.col("score"))
+
+    # blend: broadcast-join the k·|Q| result rows with pagerank, window
+    # max over each query's candidates, rounded multiplier, re-rank.
+    import os
+    pr_path = catalog.table_path(index.index_dir, "pagerank")
+    if not os.path.exists(pr_path):
+        return results.withColumn("final_score", F.col("score"))
+    pr = catalog.read_table(spark, index.index_dir, "pagerank")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id")
+    blended = (
+        results.join(F.broadcast(pr), "doc_id", "left")
+        .withColumn("max_rel", F.max("pr").over(w))
+        .withColumn(
+            "mult",
+            F.when(
+                F.col("pr").isNotNull(),
+                F.round(
+                    F.lit(1.0) + F.pow(F.col("pr") / F.col("max_rel"),
+                                       F.lit(float(PR_ALPHA))),
+                    PR_ROUND,
+                ),
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn("final_score", F.col("score") * F.col("mult"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("final_score"), F.asc("rank")
+    )
+    return (
+        blended.withColumn("final_rank", F.row_number().over(w2))
+        .drop("pr", "max_rel")
+    )
+
+
+# -- picklable tree spec (dataclasses with numpy members don't ship well) --
+def _tree_spec(node):
+    if node is None:
+        return None
+    if isinstance(node, Term):
+        return ("t", node.field, node.text, node.boost)
+    tag = "a" if isinstance(node, And) else "o"
+    return (tag, [_tree_spec(c) for c in node.children])
+
+
+def _tree_from_spec(spec):
+    if spec is None:
+        return None
+    if spec[0] == "t":
+        return Term(spec[1], spec[2], spec[3])
+    children = [_tree_from_spec(c) for c in spec[1]]
+    return And(children) if spec[0] == "a" else Or(children)

@@ -1,0 +1,164 @@
+"""Table layer: atomic-ish parquet tables with manifests and resume.
+
+The reference's index "commit" is Whoosh's segment flush
+(``indexing/index.py:132-136``); open-or-build is
+``index.exists_in``/``open_dir`` (``index.py:65-84``).  Our equivalents:
+
+* every stage writes a parquet directory plus a ``_MANIFEST.json``
+  written only AFTER the parquet job succeeds — the manifest is the
+  commit marker (write-then-rename would be the posix-atomic variant;
+  json-after-success is equivalent for our single-writer builds),
+* ``is_complete``/``read`` implement open-or-build resume,
+* per-partition lineage rows (seg_id, n_docs, n_terms, bytes, checksum)
+  are appended to a ``manifests`` parquet table — the north_rule's
+  per-partition lineage requirement.
+
+On a real deployment this module is the seam where Iceberg slots in
+(``writeTo(...).createOrReplace()``, hidden ``bucket(term)``
+partitioning, snapshot-based resume): the sandbox has no Iceberg
+runtime jar, so the parquet fallback is the tested path and the Iceberg
+path is gated behind a config check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def table_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def iceberg_enabled(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on the session."""
+    confs = spark.sparkContext.getConf().getAll()
+    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    name: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+) -> str:
+    """Write a stage table + commit manifest.  Returns the path."""
+    path = table_path(root, name)
+    spark = df.sparkSession
+    if iceberg_enabled(spark):  # pragma: no cover - no Iceberg jar in sandbox
+        writer = df.writeTo(f"idx.{name}")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return path
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    commit(path, meta)
+    return path
+
+
+def commit(path: str, meta: dict | None = None) -> None:
+    """Write the manifest commit marker after a successful job."""
+    p = Path(path)
+    files = sorted(f for f in p.rglob("*.parquet"))
+    manifest = {
+        "committed_at": time.time(),
+        "n_files": len(files),
+        "bytes": sum(f.stat().st_size for f in files),
+        "files": [
+            {"path": str(f.relative_to(p)), "bytes": f.stat().st_size}
+            for f in files
+        ],
+        **(meta or {}),
+    }
+    tmp = p / (MANIFEST_NAME + ".tmp")
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.rename(p / MANIFEST_NAME)  # atomic on posix
+
+
+def manifest(root: str, name: str) -> dict | None:
+    f = Path(table_path(root, name)) / MANIFEST_NAME
+    if not f.exists():
+        return None
+    return json.loads(f.read_text())
+
+
+def is_complete(root: str, name: str) -> bool:
+    """A stage is complete iff its commit manifest exists AND every file
+    it recorded still exists with the recorded size (cheap checksum)."""
+    m = manifest(root, name)
+    if m is None:
+        return False
+    p = Path(table_path(root, name))
+    for entry in m.get("files", []):
+        f = p / entry["path"]
+        if not f.exists() or f.stat().st_size != entry["bytes"]:
+            return False
+    return True
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(root, name))
+
+
+def drop_table(root: str, name: str) -> None:
+    import shutil
+
+    path = table_path(root, name)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+# ---------------------------------------------------------------------------
+# Per-partition lineage rows (the `manifests` table of SURVEY.md §1.4)
+# ---------------------------------------------------------------------------
+def append_lineage(
+    spark: SparkSession, root: str, rows: list[dict]
+) -> None:
+    """Append lineage rows (stage, seg_id, n_docs, n_terms, bytes,
+    checksum, build_ts) to the manifests table."""
+    import datetime as dt
+
+    from .. import schemas
+
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    full = [
+        {
+            "stage": r.get("stage"),
+            "seg_id": r.get("seg_id"),
+            "partition_id": r.get("partition_id"),
+            "n_docs": r.get("n_docs"),
+            "n_terms": r.get("n_terms"),
+            "bytes": r.get("bytes"),
+            "checksum": r.get("checksum"),
+            "build_ts": now,
+        }
+        for r in rows
+    ]
+    df = spark.createDataFrame(full, schema=schemas.MANIFESTS)
+    df.coalesce(1).write.mode("append").parquet(table_path(root, "manifests"))
+
+
+def read_lineage(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(table_path(root, "manifests"))
+
+
+def completed_segments(spark: SparkSession, root: str, stage: str) -> set[int]:
+    """Seg ids recorded as complete for a stage (segment-level resume)."""
+    path = Path(table_path(root, "manifests"))
+    if not path.exists():
+        return set()
+    df = read_lineage(spark, root).where(f"stage = '{stage}'")
+    return {int(r.seg_id) for r in df.select("seg_id").distinct().collect()}

@@ -52,7 +52,9 @@ def test_postings_roundtrip(postings):
     doc_ids = np.array([p[0] for p in postings], dtype=np.uint64)
     tfs = np.array([p[1] for p in postings], dtype=np.uint64)
     fls = np.array([p[2] for p in postings], dtype=np.uint64)
-    d_blob, t_blob, f_blob, bl, bmt, bmf = codec.encode_postings(doc_ids, tfs, fls)
+    d_blob, t_blob, f_blob, bl, bmt, bmf, d_off, t_off, f_off = (
+        codec.encode_postings(doc_ids, tfs, fls)
+    )
     d, t, f = codec.decode_postings(d_blob, t_blob, f_blob)
     assert d.tolist() == doc_ids.astype(np.int64).tolist()
     assert t.tolist() == tfs.astype(np.int64).tolist()
@@ -79,6 +81,30 @@ def test_merge_segments_equals_global_encode():
     for i in range(4):
         sl = slice(bounds[i], bounds[i + 1])
         segs.append(codec.encode_postings(doc_ids[sl], tfs[sl], fls[sl])[:3])
-    merged = codec.merge_encoded_segments(segs)
-    direct = codec.encode_postings(doc_ids, tfs, fls)
-    assert merged == direct
+    d, t, f = codec.merge_encoded_segments(segs)
+    assert codec.encode_postings(d, t, f) == codec.encode_postings(doc_ids, tfs, fls)
+
+
+def test_random_block_access():
+    rng = np.random.default_rng(11)
+    n = 1000  # ~8 blocks of 128
+    doc_ids = np.sort(rng.choice(100_000, size=n, replace=False).astype(np.uint64))
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    fls = rng.integers(1, 500, size=n).astype(np.uint64)
+    enc = codec.encode_postings(doc_ids, tfs, fls)
+    d_blob, t_blob, f_blob, bl, bmt, bmf, d_off, t_off, f_off = enc
+    nblocks = len(bl)
+    # every subset of blocks decodes to exactly those slices
+    for subset in ([0], [nblocks - 1], [1, 3], list(range(nblocks))):
+        d, t, f = codec.decode_blocks(
+            d_blob, t_blob, f_blob, d_off, t_off, f_off, n,
+            np.array(subset, dtype=np.int64),
+        )
+        expect = np.concatenate([
+            doc_ids[b * 128:(b + 1) * 128].astype(np.int64) for b in subset
+        ])
+        assert d.tolist() == expect.tolist()
+        expect_tf = np.concatenate([
+            tfs[b * 128:(b + 1) * 128].astype(np.int64) for b in subset
+        ])
+        assert t.tolist() == expect_tf.tolist()

@@ -1,0 +1,168 @@
+"""Rank-identity: Spark engine == oracle on the reference query set.
+
+north_rule gate: top-k docIDs and scores rank-identical to the
+reference semantics (re-derived by tests/oracle.py) for the 30 queries
+of ``/root/reference/indexing/evaluation.py:22-30``, across group
+modes, weighting models, boosts, expansion and PageRank blend.
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_wikipedia_spark.plans.query import SearchIndex, WikiSearcher
+from search_engine_wikipedia_spark.synth import QUERIES
+
+TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    root, oracle = built_index
+    idx = SearchIndex(spark, root)
+    return WikiSearcher(idx), oracle
+
+
+def _assert_match(res, expected, query, ctx=""):
+    got = [(d["doc_id"], d["score"]) for d in res["docs"]]
+    assert [g[0] for g in got] == [e[0] for e in expected], (
+        f"{query} {ctx}: docs {got} != {expected}"
+    )
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert abs(gs - es) < TOL, f"{query} {ctx}: score {gs} != {es} @doc {gd}"
+
+
+@pytest.mark.parametrize("group", ["AND", "OR"])
+def test_rank_identity_all_queries(searcher, group):
+    s, oracle = searcher
+    for q in QUERIES:
+        expected = oracle.search(q, limit=10, group=group)
+        res = s.search(q, limit=10, exp=False, page_rank=False, group=group,
+                       with_meta=False)
+        _assert_match(res, expected, q, group)
+
+
+def test_rank_identity_expansion(searcher):
+    s, oracle = searcher
+    for q in QUERIES:
+        expected = oracle.search(q, limit=10, exp=True, group="AND")
+        res = s.search(q, limit=10, exp=True, page_rank=False, group="AND",
+                       with_meta=False)
+        _assert_match(res, expected, q, "exp")
+
+
+@pytest.mark.parametrize("weighting", ["TF_IDF", "FREQUENCY"])
+def test_rank_identity_other_models(searcher, weighting):
+    s, oracle = searcher
+    for q in QUERIES[:10]:
+        expected = oracle.search(q, limit=10, weighting=weighting, group="OR")
+        res = s.search(q, limit=10, exp=False, page_rank=False, group="OR",
+                       weighting=weighting, with_meta=False)
+        _assert_match(res, expected, q, weighting)
+
+
+def test_rank_identity_boosts(searcher):
+    s, oracle = searcher
+    for q in ["Roman Empire", "Solar energy", "Apple"]:
+        expected = oracle.search(q, limit=10, text_boost=0.7, title_boost=2.0,
+                                 group="AND")
+        res = s.search(q, limit=10, exp=False, page_rank=False,
+                       text_boost=0.7, title_boost=2.0, group="AND",
+                       with_meta=False)
+        _assert_match(res, expected, q, "boosts")
+
+
+def test_limit_and_tie_order(searcher):
+    s, oracle = searcher
+    for q in ["Maya", "Precision"]:
+        expected = oracle.search(q, limit=25, group="OR")
+        res = s.search(q, limit=25, exp=False, page_rank=False, group="OR",
+                       with_meta=False)
+        _assert_match(res, expected, q, "limit25")
+
+
+def test_pagerank_values_match_oracle(spark, built_index):
+    from search_engine_wikipedia_spark.sources import catalog
+
+    root, oracle = built_index
+    engine_pr = {
+        int(r["doc_id"]): float(r["pr"])
+        for r in catalog.read_table(spark, root, "pagerank").collect()
+    }
+    oracle_pr = oracle.pagerank()
+    assert set(engine_pr) == set(oracle_pr)
+    for d, p in oracle_pr.items():
+        assert abs(engine_pr[d] - p) < 1e-9, d
+    # sanity: hub pages (low ids get most in-links in synth) rank high
+    assert sum(engine_pr.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_edges_match_oracle(spark, built_index):
+    from search_engine_wikipedia_spark.sources import catalog
+
+    root, oracle = built_index
+    engine_edges = {
+        (int(r["src"]), int(r["dst"]))
+        for r in catalog.read_table(spark, root, "edges").collect()
+    }
+    assert engine_edges == oracle.edges()
+
+
+def test_blended_search_matches_oracle(searcher):
+    s, oracle = searcher
+    for q in QUERIES:
+        expected = oracle.search(q, limit=10, page_rank=True, group="AND")
+        res = s.search(q, limit=10, exp=False, page_rank=True, group="AND",
+                       with_meta=False)
+        got = [(d["doc_id"], d["final_score"]) for d in res["docs"]]
+        assert [g[0] for g in got] == [e[0] for e in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert abs(gs - es) < 1e-6, (q, gd)
+
+
+def test_batched_matches_interactive(spark, built_index):
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex,
+        WikiSearcher,
+        search_batch,
+    )
+
+    root, _ = built_index
+    idx = SearchIndex(spark, root)
+    s = WikiSearcher(idx)
+    qs = list(QUERIES)
+    batch = search_batch(idx, qs, limit=10, exp=True, page_rank=True).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query"], []).append(r)
+    for q in qs:
+        rows = sorted(by_q.get(q, []), key=lambda r: r["final_rank"])
+        inter = s.search(q, limit=10, exp=True, page_rank=True,
+                         with_meta=False)
+        assert [int(r["doc_id"]) for r in rows] == [
+            d["doc_id"] for d in inter["docs"]
+        ], q
+        for r, d in zip(rows, inter["docs"]):
+            assert abs(float(r["final_score"]) - d["final_score"]) < 1e-9, q
+
+
+def test_doc_ids_are_dense_url_ranks(spark, built_index):
+    from search_engine_wikipedia_spark.sources import catalog
+
+    root, oracle = built_index
+    docs = catalog.read_table(spark, root, "docs").select(
+        "doc_id", "url").collect()
+    engine = {int(r["doc_id"]): r["url"] for r in docs}
+    expected = {d: v[0] for d, v in oracle.docs.items()}
+    assert engine == expected
+
+
+def test_clean_text_byte_identity_in_table(spark, built_index):
+    from search_engine_wikipedia_spark.sources import catalog
+
+    root, oracle = built_index
+    rows = catalog.read_table(spark, root, "docs").select(
+        "doc_id", "clean_text", "links").collect()
+    for r in rows:
+        d = int(r["doc_id"])
+        assert r["clean_text"] == oracle.docs[d][2]
+        assert list(r["links"]) == oracle.docs[d][3]
