@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The ``pages`` input already carries one multimodal column —
+``html: binary`` — and a 100 TB training-data pipeline adds image /
+audio / video payloads with the same shape: an opaque ``binary`` column
+plus typed metadata, processed by Arrow-batched kernels.
+
+This module makes the **Spark-side plumbing real** (schemas,
+``mapInPandas`` batch shape, partition-size control) while the actual
+codec calls are stubbed: the sandbox has no image/audio libraries, so
+``decode_image_batch`` raises ``NotImplementedError`` unless
+``deterministic_stub=True``, in which case a seeded, content-derived
+fake (md5-based) stands in — making the full pipeline testable and the
+UDF signatures/battch contracts exercisable.
+
+Scale notes: binary payload rows are large and skew-prone — the
+pipeline repartitions by a payload-size-aware key before the decode
+stage so one Arrow batch never exceeds executor memory
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` is the second
+guard), and metadata-only queries never touch the payload column
+(column pruning keeps ``binary`` out of the scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+FEATURE_SCHEMA = "doc_id long, media_type string, feature array<float>, n_bytes int"
+FEATURE_DIM = 8
+
+
+def attach_media_metadata(pages: DataFrame) -> DataFrame:
+    """pages(html binary, …) → media rows with typed metadata.
+
+    Metadata derives from the payload natively (length, magic-byte
+    sniff) — no UDF, stays in codegen; the payload itself is carried
+    opaque.
+    """
+    payload = F.col("html")
+    return pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.when(
+            F.substring(payload, 1, 5) == F.lit(b"<!DOC"), F.lit("html")
+        ).otherwise(F.lit("binary")).alias("media_type"),
+        payload.alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_feature(payload: bytes) -> np.ndarray:
+    """Deterministic content-derived stand-in feature vector."""
+    d = hashlib.md5(payload or b"").digest()
+    return (np.frombuffer(d[:FEATURE_DIM], dtype=np.uint8)
+            .astype(np.float32) / 255.0)
+
+
+def decode_image_batch(payloads: pd.Series,
+                       deterministic_stub: bool = False) -> pd.Series:
+    """STUB — image decode (PIL/libvips not present in this container).
+
+    Real deployment: ``PIL.Image.open(io.BytesIO(p))`` → resize →
+    normalized float tensor.  With ``deterministic_stub`` a seeded fake
+    keeps the pipeline testable end-to-end.
+    """
+    if not deterministic_stub:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips — not in this container"
+        )
+    return payloads.map(lambda p: _fake_feature(bytes(p or b"")))
+
+
+def extract_features(media: DataFrame, batch_rows: int = 256,
+                     deterministic_stub: bool = False) -> DataFrame:
+    """media → (doc_id, media_type, feature array<float>, n_bytes).
+
+    The Arrow-batched feature-extraction stage: payloads are
+    repartitioned by doc_id (spreads large payloads), decoded per
+    batch, and the payload column is dropped on output so downstream
+    stages shuffle only small feature rows.
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                feats = decode_image_batch(
+                    chunk["payload"], deterministic_stub=deterministic_stub
+                )
+                yield pd.DataFrame({
+                    "doc_id": chunk["doc_id"],
+                    "media_type": chunk["media_type"],
+                    "feature": feats.map(list),
+                    "n_bytes": chunk["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ).astype("int32"),
+                })
+
+    return (
+        media.repartition("doc_id")
+        .select("doc_id", "media_type", "payload")
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
+    )

@@ -1,0 +1,526 @@
+"""Training-data pipeline operators over a ``documents`` table.
+
+The large-scale companion to the inverted-index build: the operations a
+100 TB web-text → training-data pipeline needs, each expressed as a
+**pure relational Spark plan** (built-in ``pyspark.sql.functions`` only
+— zero Python UDFs, so every stage stays inside whole-stage codegen and
+Catalyst pushes filters/pruning into the scan).
+
+Input schema (driver testdata ``documents.parquet``)::
+
+    doc_id bigint, text string, lang string, source string, n_chars bigint
+
+Operators
+---------
+* ``tokens``/``tokens_tf``          — analyzer-chain tokenization (A2
+  semantics minus stemming: Whoosh tokenizer regex, lowercase, stopword
+  + minsize filter) as a native plan (I1 analogue).
+* ``term_stats``/``doc_token_stats``/``corpus_stats`` — df/cf and field
+  statistics (I4).
+* ``bm25_topk``/``bm25_score_all``  — the Whoosh BM25F scoring formula
+  (Q5: ``idf = ln(N/(df+1))+1``, k1=1.2, b=0.75) as a relational plan
+  with AND/OR group semantics (Q2) and (score desc, doc_id asc)
+  tie-breaks (Q6).
+* ``batch_topk``                    — many queries in one job (window
+  top-k per query; the batched-evaluation shape of plans/query.py).
+* ``resolve_edges``/``pagerank_iterations`` — G2-style equi-join edge
+  derivation + fixed-iteration damped power method (G3) usable where no
+  explicit link column exists.
+* dedup family: ``dedup_exact`` (hash groupBy), ``minhash_signatures``
+  + ``lsh_candidate_pairs`` (MinHash + banded LSH), ``simhash32``,
+  ``ngram_jaccard_pairs`` (shingle self-join).
+* text analysis: ``quality_scores``, ``lang_id``, ``token_counts``,
+  ``doc_fingerprints`` (every-k-th-token digest).
+
+Scale notes (100 TB): every operator here is shuffle-minimal —
+tokenize/shingle/score stages are narrow maps over the scan; the only
+wide exchanges are the keyed aggregations (term, band-bucket, shingle)
+which AQE handles; candidate-pair self-joins join on high-cardinality
+keys (band hash / shingle), never on raw text.  Nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textproc import STOP_WORDS
+
+# Whoosh 2.7.4 default tokenizer pattern (analyzers.py:13-33 chain);
+# identical in Java regex (Spark) and RE2 (DuckDB oracle) for ASCII.
+TOKEN_RE = r"\w+(?:\.?\w+)*"
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"   # BPE-ish pretokenizer classes
+K1, B = 1.2, 0.75                        # Whoosh BM25F defaults (Q5)
+STOPWORDS = sorted(STOP_WORDS)
+
+
+def token_array(col: Column) -> Column:
+    """lower → Whoosh-regex tokenize → stopword/minsize filter (A2)."""
+    arr = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
+    return F.filter(
+        arr,
+        lambda t: (F.length(t) >= 2) & ~t.isin(*STOPWORDS),
+    )
+
+
+def raw_token_array(col: Column) -> Column:
+    """lower + tokenize only (A1 ``SimpleAnalyzer_`` semantics)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# Tokenization + statistics (I1 / I4 analogues, single-field)
+# ---------------------------------------------------------------------------
+def tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence."""
+    return documents.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("term")
+    )
+
+
+def tokens_tf(documents: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — the map-side tf aggregation of I1."""
+    return tokens(documents).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def term_stats(documents: DataFrame) -> DataFrame:
+    """(term, df, cf) — document/collection frequency (I4)."""
+    return tokens_tf(documents).groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def doc_token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct) for every document (0 if none)."""
+    t = tokens(documents).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("term").alias("n_distinct"),
+    )
+    return (
+        documents.select("doc_id").join(t, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        )
+    )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """One row: (doc_count, total_tokens, avg_len) — field_stats analogue."""
+    return doc_token_stats(documents).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.count("*")).alias("avg_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relational scoring (Q5/Q6/Q2 as a Catalyst plan)
+# ---------------------------------------------------------------------------
+def bm25_score_all(documents: DataFrame, terms: list[str],
+                   match_all: bool = True) -> DataFrame:
+    """(doc_id, score) for every matching doc, unrounded.
+
+    Whoosh BM25: ``idf = ln(N/(df+1)) + 1``; per-term
+    ``idf·tf·(k1+1)/(tf + k1·(1−b + b·fl/avgfl))`` summed over matched
+    query terms.  AND group keeps docs matching all terms.  The plan:
+    tf agg → broadcast semi-join on query terms → two scalar-subquery
+    style broadcast joins for (N, avgfl) and per-term df → sum.
+    """
+    spark = documents.sparkSession
+    tf = tokens_tf(documents)
+    lens = doc_token_stats(documents).select("doc_id", "n_tokens")
+    g = corpus_stats(documents).select(
+        "doc_count", "avg_len").withColumn("_k", F.lit(1))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    df_t = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(g), "_k")
+        .withColumn(
+            "idf",
+            F.log(F.col("doc_count") / (F.col("df") + F.lit(1))) + F.lit(1.0),
+        )
+        .withColumn(
+            "w",
+            F.col("idf") * F.col("tf") * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B)
+                   + F.lit(B) * F.col("n_tokens") / F.col("avg_len"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"), F.count("*").alias("n_matched"))
+    )
+    if match_all:
+        scored = scored.where(F.col("n_matched") == len(terms))
+    return scored.select("doc_id", "score")
+
+
+def bm25_topk(documents: DataFrame, terms: list[str], k: int = 10,
+              match_all: bool = True) -> DataFrame:
+    """Top-k by (round(score,6) desc, doc_id asc) — deterministic."""
+    return (
+        bm25_score_all(documents, terms, match_all)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def batch_topk(documents: DataFrame, queries: dict[int, list[str]],
+               k: int = 5) -> DataFrame:
+    """Many OR-queries in ONE job → (query_id, rank, doc_id, score).
+
+    The batched-evaluation shape: the (query_id, term) fan-out is
+    broadcast against the tf table, scores aggregate per (query, doc),
+    and a per-query window takes top-k.
+    """
+    spark = documents.sparkSession
+    tf = tokens_tf(documents)
+    lens = doc_token_stats(documents).select("doc_id", "n_tokens")
+    g = corpus_stats(documents).select(
+        "doc_count", "avg_len").withColumn("_k", F.lit(1))
+    fan = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id int, term string",
+    )
+    df_t = (
+        tf.join(F.broadcast(fan.select("term").distinct()), "term")
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(fan), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(g), "_k")
+        .withColumn(
+            "w",
+            (F.log(F.col("doc_count") / (F.col("df") + F.lit(1))) + F.lit(1.0))
+            * F.col("tf") * F.lit(K1 + 1.0)
+            / (F.col("tf") + F.lit(K1)
+               * (F.lit(1.0 - B)
+                  + F.lit(B) * F.col("n_tokens") / F.col("avg_len"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph derivation + fixed-iteration PageRank (G2/G3 over documents)
+# ---------------------------------------------------------------------------
+def resolve_edges(documents: DataFrame, links_per_doc: int = 5) -> DataFrame:
+    """G2 equi-join analogue where no explicit link column exists.
+
+    Each document "links" to the owners of its top-``links_per_doc``
+    terms (by tf desc, term asc); a term's owner is the lowest doc_id
+    containing it — the title→id resolution join of ``graph.py:99-119``
+    re-expressed: links explode → inner equi-join → distinct.
+    """
+    tf = tokens_tf(documents)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    top_terms = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= links_per_doc)
+        .select(F.col("doc_id").alias("src"), "term")
+    )
+    owners = tf.groupBy("term").agg(F.min("doc_id").alias("dst"))
+    return (
+        top_terms.join(owners, "term")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_iterations(documents: DataFrame, edges: DataFrame,
+                        n_iter: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration damped power method with uniform dangling mass.
+
+    Same Berkhin formulation as operators/pagerank.py (tmp = C·inflow;
+    leaked = (1−Σtmp)/N), run for exactly ``n_iter`` iterations so an
+    unrolled-SQL oracle can mirror it.  → (doc_id, pr) unrounded.
+    """
+    nodes = documents.select("doc_id")
+    n_docs = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    graph = edges.join(outdeg, "src").cache()
+    ranks = nodes.select("doc_id", F.lit(1.0 / n_docs).alias("pr"))
+    for _ in range(n_iter):
+        contribs = (
+            graph.join(ranks, graph["src"] == ranks["doc_id"])
+            .select(F.col("dst").alias("doc_id"),
+                    (F.col("pr") / F.col("outdeg")).alias("w"))
+            .groupBy("doc_id").agg(F.sum("w").alias("inflow"))
+        )
+        tmp = (
+            nodes.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
+                .alias("tmp"),
+            )
+        ).cache()
+        total = tmp.agg(F.sum("tmp")).collect()[0][0] or 0.0
+        ranks = tmp.select(
+            "doc_id",
+            (F.col("tmp") + F.lit((1.0 - total) / n_docs)).alias("pr"),
+        )
+    graph.unpersist()
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """(doc_id, content_hash, is_dup) — exact dedup via hash groupBy.
+
+    ``is_dup`` marks every doc except the lowest doc_id per content
+    hash; at scale this is one shuffle on a 32-hex-char key.
+    """
+    w = Window.partitionBy("content_hash")
+    return (
+        documents.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("is_dup", F.col("doc_id") > F.min("doc_id").over(w))
+        .select("doc_id", "content_hash", "is_dup")
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-``n``-gram shingles."""
+    arr = raw_token_array(F.col("text"))
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, seed, mh) MinHash signature rows.
+
+    Hash family: ``md5(seed || ':' || shingle)`` compared as strings —
+    deterministic, engine-agnostic (the SQL oracle reproduces it
+    exactly), uniform enough for Jaccard estimation.
+    """
+    sh = shingles(documents, shingle_n)
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id", "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                           F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4
+                        ) -> DataFrame:
+    """MinHash-LSH banding: (a, b) candidate near-dup pairs.
+
+    Signatures are grouped into bands of ``rows_per_band`` rows; a pair
+    is a candidate iff some band's concatenated signature matches.  The
+    join key is ``(band, md5(band signature))`` — high-cardinality, so
+    the self-join is shuffle-friendly at scale.
+    """
+    bands = (
+        signatures
+        .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), "band", "band_key"
+    )
+    return (
+        bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+        .join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
+                        k: int = 20) -> DataFrame:
+    """Top-``k`` pairs by exact n-gram Jaccard similarity.
+
+    |∩| via a shingle self-join, |∪| = |A|+|B|−|∩|.  Deterministic
+    order: (round(jaccard,6) desc, a, b).
+    """
+    sh = shingles(documents, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    left = sh.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("a"),
+                           F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
+
+
+def simhash32(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 32-bit tf-weighted SimHash fingerprint.
+
+    Token hash = first 8 hex chars of md5 as uint32; bit b of the
+    fingerprint is set iff Σ_tokens tf·(2·bit_b(h)−1) > 0.  Bit
+    extraction uses floor(h/2^b) % 2 (exact in double for h < 2^32) so
+    the SQL oracle can mirror it verbatim.
+    """
+    tf = tokens_tf(documents)
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    bits = tf.select(
+        "doc_id", "tf", h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    bit = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b")))
+           .cast("long") % 2)
+    return (
+        bits.withColumn("contrib", F.col("tf") * (2 * bit - 1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0,
+                   F.pow(F.lit(2.0), F.col("b")).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality, language-ID, token counts, fingerprints
+# ---------------------------------------------------------------------------
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, alpha_ratio, stop_ratio, quality).
+
+    Heuristic quality score: alpha-char density, length saturation and
+    stopword-rate closeness to English prose — all native expressions.
+    """
+    arr = token_array(F.col("text"))
+    raw = raw_token_array(F.col("text"))
+    n_raw = F.size(raw)
+    n_stop = F.size(raw) - F.size(arr)  # minsize<2 tokens are rare; proxy
+    alpha = (
+        F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    stop_ratio = n_stop / F.greatest(n_raw, F.lit(1))
+    quality = F.round(
+        F.lit(0.5) * alpha
+        + F.lit(0.3) * F.least(F.lit(1.0), n_raw / F.lit(100.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3))),
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """(doc_id, stop_hit_ratio, lang_pred) — stopword-density n-gram
+    heuristic: English iff the Whoosh-stoplist hit rate ≥ threshold."""
+    raw = raw_token_array(F.col("text"))
+    hits = F.size(F.filter(raw, lambda t: t.isin(*STOPWORDS)))
+    ratio = hits / F.greatest(F.size(raw), F.lit(1))
+    return documents.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_hit_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpeish_tokens, analyzer_tokens)."""
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), F.lit(0)))
+        .alias("bpeish_tokens"),
+        F.size(token_array(F.col("text"))).alias("analyzer_tokens"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame, stride: int = 8) -> DataFrame:
+    """(doc_id, fingerprint) — digest of every ``stride``-th token.
+
+    A cheap locality-insensitive fingerprint (order-preserving token
+    sampling + md5), the relational cousin of rolling-hash winnowing.
+    """
+    raw = raw_token_array(F.col("text"))
+    sampled = F.filter(raw, lambda t, i: i % stride == 0)
+    return documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", sampled)).alias("fingerprint"),
+    )

@@ -1,0 +1,86 @@
+"""Local mirror of the driver correctness gate: every ``queries()``
+entry runs on Spark and (when an oracle exists) the matching
+``oracle_sql()`` runs on DuckDB over the same parquet tables; results
+must agree exactly (row count, column names, sorted values)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in idx) for r in rows
+    )
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, ddb):
+    q = QUERIES[name]
+    sdf = q(spark, SF_DIR)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(ORACLES[name])
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
+    s_set, d_set = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mismatches, (name, mismatches[:5])
+
+
+def test_rows_only_entries_run(spark):
+    """wand_topk / multimodal_features: schema-stable, non-empty."""
+    mm = QUERIES["multimodal_features"](spark, SF_DIR)
+    rows = mm.limit(5).collect()
+    assert rows and rows[0]["n_bytes"] > 0
+
+
+def test_all_queries_have_callables():
+    for name in ORACLES:
+        assert name in QUERIES
