@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build docs/sec, WAND query throughput, and
+the training-data pipeline operators, at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+Extras (informational): docs_per_sec (index build), queries_per_sec
+(30-query block-max WAND batch), n_docs, cpus.
+
+Run `python jobs/scaling_bench.py` for the two-parallelism (N vs 4N
+cores) scaling-efficiency evidence → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from search_engine_wikipedia_spark.operators.build import IndexBuilder
+    from search_engine_wikipedia_spark.plans.query import SearchIndex, search_batch
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    # --- 1. index build (SPIMI → salted merge → stats) -------------------
+    root = keep_index or f"/tmp/sewiki_bench_{sf}_{cpus}"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = E._documents_as_pages(spark, sf_dir)
+    n_docs = pages.count()
+    builder = IndexBuilder(spark, root, n_segments=max(8, cpus),
+                           shard_size=200_000)
+    timed("index_build", lambda: builder.build(pages, resume=False))
+    docs_per_sec = round(n_docs / timings["index_build"], 1)
+
+    # --- 2. query throughput: 30-query block-max WAND batch --------------
+    queries30 = (E.ENGINE_QUERIES * 3)[:30]
+    idx = SearchIndex(spark, root)
+    res = timed(
+        "wand_batch30",
+        lambda: search_batch(idx, queries30, limit=10, exp=False,
+                             page_rank=False).collect(),
+    )
+    assert len(res) > 0
+    queries_per_sec = round(30 / timings["wand_batch30"], 2)
+
+    # --- 3. pipeline operators over the same table -----------------------
+    Q = E.queries()
+    for name in (
+        "tokenize_tf", "term_stats", "bm25_and_topk", "batch_topk",
+        "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
+        "simhash32", "quality_scores", "lang_id", "token_counts",
+        "doc_fingerprints", "ann_cosine_topk", "ann_ivf_topk",
+        "resolve_edges", "pagerank_5iter",
+    ):
+        df = Q[name](spark, sf_dir)
+        timed(name, lambda d=df: d.write.format("noop").mode("overwrite").save())
+
+    total = round(time.perf_counter() - t_all, 3)
+    result = {
+        "metric": "index-build docs/sec + WAND query batch + pipeline ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec": docs_per_sec,
+        "queries_per_sec": queries_per_sec,
+    }
+    print(json.dumps(result), file=out, flush=True)
+    spark.stop()
+    if keep_index is None:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    run(sf_dir, cpus)

@@ -57,6 +57,20 @@ K1, B = 1.2, 0.75                        # Whoosh BM25F defaults (Q5)
 STOPWORDS = sorted(STOP_WORDS)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the scan parallelism matches the session's cores.
+
+    Local-scale guard: a small parquet file arrives as ONE input split,
+    serializing every downstream tokenize/shingle stage.  At real scale
+    (100 TB ⇒ thousands of splits ≥ defaultParallelism) this is a
+    no-op, so the extra shuffle exists only where it's free.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_array(col: Column) -> Column:
     """lower → Whoosh-regex tokenize → stopword/minsize filter (A2)."""
     arr = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
@@ -76,7 +90,7 @@ def raw_token_array(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 def tokens(documents: DataFrame) -> DataFrame:
     """(doc_id, term) — one row per token occurrence."""
-    return documents.select(
+    return _spread(documents).select(
         "doc_id", F.explode(token_array(F.col("text"))).alias("term")
     )
 
@@ -123,6 +137,30 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BM25 relational scoring (Q5/Q6/Q2 as a Catalyst plan)
 # ---------------------------------------------------------------------------
+def _tf_lens_stats(documents: DataFrame):
+    """Shared (tf, lens, corpus-stats) trio for the BM25 plans.
+
+    ``tf`` is cached: lens (per-doc length) and the global stats are
+    both derived from it, and the scoring join probes it again — one
+    tokenize pass instead of three.  On a 100 TB deployment these are
+    the precomputed ``doc_stats``/``field_stats`` tables of the index
+    build (operators/build.py), not an inline cache.
+    """
+    tf = tokens_tf(documents).cache()
+    lens = (
+        documents.select("doc_id")
+        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("n")), "doc_id",
+              "left")
+        .select("doc_id", F.coalesce("n", F.lit(0)).alias("n_tokens"))
+    )
+    g = lens.agg(
+        F.count("*").alias("doc_count"),
+        (F.sum("n_tokens") / F.count("*")).alias("avg_len"),
+    ).withColumn("_k", F.lit(1))
+    return tf, lens, g
+
+
+
 def bm25_score_all(documents: DataFrame, terms: list[str],
                    match_all: bool = True) -> DataFrame:
     """(doc_id, score) for every matching doc, unrounded.
@@ -134,10 +172,7 @@ def bm25_score_all(documents: DataFrame, terms: list[str],
     style broadcast joins for (N, avgfl) and per-term df → sum.
     """
     spark = documents.sparkSession
-    tf = tokens_tf(documents)
-    lens = doc_token_stats(documents).select("doc_id", "n_tokens")
-    g = corpus_stats(documents).select(
-        "doc_count", "avg_len").withColumn("_k", F.lit(1))
+    tf, lens, g = _tf_lens_stats(documents)
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
     df_t = (
         tf.join(F.broadcast(qterms), "term")
@@ -191,10 +226,7 @@ def batch_topk(documents: DataFrame, queries: dict[int, list[str]],
     and a per-query window takes top-k.
     """
     spark = documents.sparkSession
-    tf = tokens_tf(documents)
-    lens = doc_token_stats(documents).select("doc_id", "n_tokens")
-    g = corpus_stats(documents).select(
-        "doc_count", "avg_len").withColumn("_k", F.lit(1))
+    tf, lens, g = _tf_lens_stats(documents)
     fan = spark.createDataFrame(
         [(qid, t) for qid, ts in queries.items() for t in ts],
         "query_id int, term string",
@@ -324,7 +356,8 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+        _spread(documents)
+        .select("doc_id", F.explode(sh).alias("shingle")).distinct()
     )
 
 
