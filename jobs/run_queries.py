@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: serve a query batch against a built index.
+
+  spark-submit --master <url> --py-files sewiki.zip jobs/run_queries.py \
+      --index-dir /data/idx [--queries-file q.txt] [--repeat 4] \
+      [--limit 10] [--pagerank] [--or-group]
+
+Runs the reference 30-query evaluation set by default (×--repeat for
+utilization), through the distributed block-max-WAND batch path, and
+emits one JSON line with queries/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--queries-file")
+    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--pagerank", action="store_true")
+    p.add_argument("--expand", action="store_true")
+    p.add_argument("--or-group", action="store_true")
+    p.add_argument("--metrics-out", default="-")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_wikipedia_spark.synth import QUERIES
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex, search_batch, search_many_broadcast,
+    )
+
+    spark = SparkSession.builder.appName("sewiki-query").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            base = [q.strip() for q in f if q.strip()]
+    else:
+        base = list(QUERIES)  # the reference 30-query evaluation set
+    queries = base * args.repeat
+
+    idx = SearchIndex(spark, args.index_dir)
+    group = "OR" if args.or_group else "AND"
+    t0 = time.perf_counter()
+    if args.repeat > 1 and not (args.expand or args.pagerank):
+        # repeated/hot query set → broadcast-postings serving plan
+        res = search_many_broadcast(
+            idx, queries, limit=args.limit, group=group
+        ).collect()
+    else:
+        res = search_batch(
+            idx, queries, limit=args.limit, exp=args.expand,
+            page_rank=args.pagerank, group=group,
+        ).collect()
+    wall = time.perf_counter() - t0
+
+    out = {
+        "job": "run_queries",
+        "n_queries": len(queries),
+        "n_result_rows": len(res),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "wall_sec": round(wall, 3),
+        "queries_per_sec": round(len(queries) / wall, 2),
+    }
+    line = json.dumps(out)
+    if args.metrics_out == "-":
+        print(line, flush=True)
+    else:
+        with open(args.metrics_out, "w") as f:
+            f.write(line + "\n")
+        print(line, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

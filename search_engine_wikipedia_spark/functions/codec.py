@@ -154,6 +154,139 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, fls: np.ndarray):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batched (many-groups-at-once) kernels.
+#
+# applyInPandas pays ~1-3 ms of Arrow/pandas machinery PER GROUP, which
+# dominates when the vocabulary is large and posting lists short (the
+# common case: Zipf tail).  These kernels encode/decode EVERY group in a
+# partition with whole-array numpy ops; per-group Python work reduces to
+# byte slicing.  Output is bit-identical to encode_postings per group
+# (property-tested in tests/test_codec.py).
+# ---------------------------------------------------------------------------
+def _vb_encode_arr(values: np.ndarray):
+    """VB-encode an array → (uint8 buffer, per-value byte lengths)."""
+    values = np.asarray(values, dtype=np.uint64)
+    if values.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    nbytes = _vb_byte_lengths(values)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    max_len = int(nbytes.max())
+    shifted = values.copy()
+    for pos in range(max_len):  # ≤10 iterations, each vectorized
+        idx = nbytes > pos
+        target = ends[idx] - 1 - pos
+        byte = (shifted[idx] & np.uint64(0x7F)).astype(np.uint8)
+        if pos == 0:
+            byte |= np.uint8(0x80)
+        out[target] = byte
+        shifted = shifted >> np.uint64(7)
+    return out, nbytes
+
+
+def _slice_per_group(buf: np.ndarray, cs0: np.ndarray,
+                     group_starts: np.ndarray, group_ends: np.ndarray):
+    """bytes of each group's value-run given per-value byte cumsum."""
+    raw = buf.tobytes()
+    bs, be = cs0[group_starts], cs0[group_ends]
+    return [raw[int(a):int(b)] for a, b in zip(bs, be)]
+
+
+def encode_groups(doc_ids: np.ndarray, tfs: np.ndarray, fls: np.ndarray,
+                  group_starts: np.ndarray):
+    """Encode MANY posting lists at once.
+
+    Inputs are the concatenation of all groups — each group contiguous,
+    doc_ids ascending within each group; ``group_starts`` are the start
+    indices (int64).  Returns 9 per-group lists matching
+    ``encode_postings`` output: (doc_blobs, tf_blobs, fl_blobs,
+    block_last, block_max_tf, block_min_fl, d_off, t_off, f_off).
+    """
+    n = doc_ids.size
+    G = group_starts.size
+    if n == 0 or G == 0:
+        return ([], [], [], [], [], [], [], [], [])
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    fls = np.asarray(fls, dtype=np.uint64)
+    bounds = np.append(group_starts, n)
+    sizes = np.diff(bounds)
+    gid = np.repeat(np.arange(G), sizes)
+    pos = np.arange(n) - np.repeat(group_starts, sizes)
+    is_abs = (pos % BLOCK_SIZE) == 0  # block starts (incl. group starts)
+
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gaps[is_abs] = doc_ids[is_abs]
+
+    enc = {}
+    for name, vals in (("d", gaps), ("t", tfs), ("f", fls)):
+        buf, nb = _vb_encode_arr(vals)
+        cs0 = np.concatenate([[0], np.cumsum(nb)])
+        enc[name] = (buf, cs0)
+
+    blobs = {
+        name: _slice_per_group(buf, cs0, group_starts, bounds[1:])
+        for name, (buf, cs0) in enc.items()
+    }
+
+    # block-level metadata (blocks never span groups: every group start
+    # is a block start)
+    bstarts = np.flatnonzero(is_abs)
+    bends = np.append(bstarts[1:], n)
+    blast = doc_ids[bends - 1].astype(np.int64)
+    bmax_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int64)
+    bmin_fl = np.minimum.reduceat(fls, bstarts).astype(np.int64)
+    # block→group boundaries: index of first block of each group
+    bgs = np.searchsorted(bstarts, group_starts)
+    bge = np.append(bgs[1:], bstarts.size)
+    block_last = [blast[a:b].tolist() for a, b in zip(bgs, bge)]
+    block_max_tf = [bmax_tf[a:b].tolist() for a, b in zip(bgs, bge)]
+    block_min_fl = [bmin_fl[a:b].tolist() for a, b in zip(bgs, bge)]
+
+    offs = {}
+    for name, (buf, cs0) in enc.items():
+        # byte offset of each block start, relative to its group start
+        block_abs = cs0[bstarts]
+        group_abs = cs0[group_starts]
+        rel = block_abs - np.repeat(group_abs, bge - bgs)
+        offs[name] = [rel[a:b].tolist() for a, b in zip(bgs, bge)]
+
+    return (blobs["d"], blobs["t"], blobs["f"],
+            block_last, block_max_tf, block_min_fl,
+            offs["d"], offs["t"], offs["f"])
+
+
+def decode_concat(doc_blobs, tf_blobs, fl_blobs, dfs: np.ndarray):
+    """Decode MANY posting blobs at once.
+
+    ``dfs[i]`` is the posting count of blob i.  Returns (doc_ids, tfs,
+    fls) as single concatenated int64 arrays (blob i occupies the slice
+    [cumsum(dfs)[i-1], cumsum(dfs)[i]) ).
+    """
+    total = int(np.sum(dfs))
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    gaps = vb_decode(b"".join(doc_blobs)).astype(np.int64)
+    tfs = vb_decode(b"".join(tf_blobs)).astype(np.int64)
+    fls = vb_decode(b"".join(fl_blobs)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(dfs)[:-1]]).astype(np.int64)
+    sizes = np.asarray(dfs, dtype=np.int64)
+    pos = np.arange(total) - np.repeat(starts, sizes)
+    is_abs = (pos % BLOCK_SIZE) == 0  # per-blob block restarts
+    # grouped cumsum with restart at every absolute position
+    c = np.cumsum(gaps)
+    rstarts = np.flatnonzero(is_abs)
+    base = c[rstarts] - gaps[rstarts]
+    rsizes = np.diff(np.append(rstarts, total))
+    doc_ids = c - np.repeat(base, rsizes)
+    return doc_ids, tfs, fls
+
+
 def _undelta_blocked(gaps: np.ndarray) -> np.ndarray:
     """Grouped cumsum with per-block restart (first of block absolute)."""
     n = gaps.size

@@ -60,6 +60,7 @@ def docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
     (saxReader.py:120-123).  Both are native Spark predicates — pushed
     to the parquet/Iceberg scan by Catalyst, ahead of the pandas UDFs.
     """
+    n_parts = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     filtered = (
         pages
         .where(F.col("lang") == lang)
@@ -72,6 +73,16 @@ def docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
             ),
         )
         .dropDuplicates(["url"])
+        # Range-partition + sort by url BEFORE the pandas kernels, for two
+        # reasons: (1) AQE byte-coalescing would serialize the CPU-heavy
+        # clean/extract UDFs (regex cost is invisible to byte-based
+        # coalescing) — an explicit partition count is never coalesced;
+        # (2) RangePartitioner's sampling pass scans its child plan, so
+        # sampling must run on the cheap pre-UDF plan — this ordering
+        # also lets assign_doc_ids skip its own range exchange
+        # (pre_ranged) instead of running the cleaner twice.
+        .repartitionByRange(n_parts, F.col("url"))
+        .sortWithinPartitions("url")
     )
 
     def derive(batches: Iterable[pd.DataFrame]):
@@ -90,17 +101,22 @@ def docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
     )
 
 
-def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None) -> DataFrame:
+def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None,
+                   pre_ranged: bool = False) -> DataFrame:
     """Deterministic dense doc_id = rank of ``key`` in global sort order.
 
     Scalable two-pass dense rank (NO single-task window): range-partition
     by key, count per partition, broadcast the offsets, then number rows
     within each sorted partition.  Deterministic for a given input set
-    regardless of parallelism.
+    regardless of parallelism.  ``pre_ranged`` skips the range exchange
+    when the input is already range-partitioned + sorted on ``key``
+    (docs_from_pages) — avoids re-running its UDFs for the sampling pass.
     """
     spark = df.sparkSession
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parted = df.repartitionByRange(n_parts, F.col(key)).sortWithinPartitions(key)
+    parted = df if pre_ranged else (
+        df.repartitionByRange(n_parts, F.col(key)).sortWithinPartitions(key)
+    )
     parted = parted.cache()
     counts = (
         parted.select(F.spark_partition_id().alias("pid"))
@@ -234,32 +250,90 @@ def field_stats_from_doc_stats(doc_stats: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stage 3 — SPIMI segments: groupBy(term, field, seg).applyInPandas(encode)
+# Stage 3 — SPIMI segments: repartition(keys) → sortWithinPartitions →
+# streaming mapInPandas batch-encode.
+#
+# NOT groupBy().applyInPandas: grouped-map pays ~1-3 ms of Arrow/pandas
+# machinery per group, which dominates under a Zipf vocabulary (millions
+# of short posting lists).  Instead each partition is hash-repartitioned
+# on the grouping keys (a user-specified exchange AQE never coalesces —
+# byte-based coalescing would serialize the Python stage), sorted by
+# (keys, doc_id) with Tungsten's spill-safe sort, and streamed through a
+# mapInPandas kernel that encodes EVERY group in an Arrow batch with one
+# vectorized numpy pass (codec.encode_groups).  A group that spans batch
+# boundaries is carried over; memory is bounded by batch size + the
+# largest single group (≤ shard_size by construction after salting).
 # ---------------------------------------------------------------------------
+def _stream_group_chunks(batches, key_cols):
+    """Yield chunks of rows whose trailing group is complete.
+
+    Input batches must be sorted by ``key_cols`` (then finer keys)
+    within the partition.  The possibly-incomplete tail group of each
+    batch is withheld and prepended to the next.
+    """
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        n = len(pdf)
+        if n == 0:
+            continue
+        mask = np.ones(n, dtype=bool)
+        for c in key_cols:
+            col = pdf[c].to_numpy()
+            mask &= col == col[n - 1]
+        tail = int(mask.sum())  # rows of the final group (contiguous)
+        if tail == n:
+            carry = pdf
+            continue
+        carry = pdf.iloc[n - tail:]
+        yield pdf.iloc[: n - tail]
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _group_starts(pdf: pd.DataFrame, key_cols) -> np.ndarray:
+    n = len(pdf)
+    changes = np.zeros(n, dtype=bool)
+    changes[0] = True
+    for c in key_cols:
+        col = pdf[c].to_numpy()
+        changes[1:] |= col[1:] != col[:-1]
+    return np.flatnonzero(changes).astype(np.int64)
+
+
+SEG_KEYS = ("term", "field", "seg_id")
+
+
 def build_segments(tf: DataFrame) -> DataFrame:
     """Encode one posting blob per (term, field, seg_id)."""
+    n_parts = int(tf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        fls = pdf["fl"].to_numpy()[order].astype(np.uint64)
-        (d_blob, t_blob, f_blob, bl, bmt, bmf, d_off, t_off, f_off) = (
-            codec.encode_postings(doc_ids, tfs, fls)
-        )
-        return pd.DataFrame([{
-            "term": pdf["term"].iat[0],
-            "field": pdf["field"].iat[0],
-            "seg_id": int(pdf["seg_id"].iat[0]),
-            "df": int(len(doc_ids)),
-            "cf": int(tfs.sum()),
-            "doc_ids": d_blob, "tfs": t_blob, "fls": f_blob,
-            "block_last": bl, "block_max_tf": bmt, "block_min_fl": bmf,
-            "block_doc_off": d_off, "block_tf_off": t_off, "block_fl_off": f_off,
-        }])
+    def encode_stream(batches):
+        for chunk in _stream_group_chunks(batches, SEG_KEYS):
+            starts = _group_starts(chunk, SEG_KEYS)
+            doc = chunk["doc_id"].to_numpy().astype(np.uint64)
+            tfs = chunk["tf"].to_numpy().astype(np.uint64)
+            fls = chunk["fl"].to_numpy().astype(np.uint64)
+            (d_b, t_b, f_b, bl, bmt, bmf, d_o, t_o, f_o) = (
+                codec.encode_groups(doc, tfs, fls, starts)
+            )
+            sizes = np.diff(np.append(starts, len(chunk)))
+            yield pd.DataFrame({
+                "term": chunk["term"].to_numpy()[starts],
+                "field": chunk["field"].to_numpy()[starts],
+                "seg_id": chunk["seg_id"].to_numpy()[starts].astype("int32"),
+                "df": sizes.astype("int32"),
+                "cf": np.add.reduceat(tfs, starts).astype("int64"),
+                "doc_ids": d_b, "tfs": t_b, "fls": f_b,
+                "block_last": bl, "block_max_tf": bmt, "block_min_fl": bmf,
+                "block_doc_off": d_o, "block_tf_off": t_o, "block_fl_off": f_o,
+            })
 
-    return tf.groupBy("term", "field", "seg_id").applyInPandas(
-        encode_group, schema=schemas.POSTINGS_SEG
+    return (
+        tf.repartition(n_parts, "term", "field", "seg_id")
+        .sortWithinPartitions("term", "field", "seg_id", "doc_id")
+        .mapInPandas(encode_stream, schema=schemas.POSTINGS_SEG)
     )
 
 
@@ -298,31 +372,63 @@ def merge_segments(
         .cast("int"),
     )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seg_id")
-        doc_ids, tfs, fls = codec.merge_encoded_segments(
-            zip(pdf["doc_ids"], pdf["tfs"], pdf["fls"])
-        )
-        (d_blob, t_blob, f_blob, bl, bmt, bmf, d_off, t_off, f_off) = (
-            codec.encode_postings(doc_ids, tfs, fls)
-        )
-        return pd.DataFrame([{
-            "term": pdf["term"].iat[0],
-            "field": pdf["field"].iat[0],
-            "shard_id": int(pdf["shard_id"].iat[0]),
-            "n_shards": int(pdf["n_shards"].iat[0]),
-            "term_df": int(pdf["term_df"].iat[0]),
-            "term_cf": int(pdf["term_cf"].iat[0]),
-            "df": int(len(doc_ids)),
-            "cf": int(tfs.sum()),
-            "doc_ids": d_blob, "tfs": t_blob, "fls": f_blob,
-            "block_last": bl, "block_max_tf": bmt, "block_min_fl": bmf,
-            "block_doc_off": d_off, "block_tf_off": t_off, "block_fl_off": f_off,
-            "src_segs": [int(s) for s in pdf["seg_id"]],
-        }])
+    MERGE_KEYS = ("term", "field", "shard_id")
 
-    return seg.groupBy("term", "field", "shard_id").applyInPandas(
-        merge_group, schema=schemas.POSTINGS
+    def merge_stream(batches):
+        for chunk in _stream_group_chunks(batches, MERGE_KEYS):
+            rstarts = _group_starts(chunk, MERGE_KEYS)  # row-level groups
+            dfs = chunk["df"].to_numpy().astype(np.int64)
+            doc, tfs, fls = codec.decode_concat(
+                list(chunk["doc_ids"]), list(chunk["tfs"]),
+                list(chunk["fls"]), dfs,
+            )
+            # posting-level group ids + starts
+            rsizes = np.diff(np.append(rstarts, len(chunk)))
+            row_gid = np.repeat(np.arange(rstarts.size), rsizes)
+            post_per_row = dfs
+            post_gid = np.repeat(row_gid, post_per_row)
+            gsizes = np.add.reduceat(post_per_row, rstarts)
+            gstarts = np.concatenate([[0], np.cumsum(gsizes)[:-1]]).astype(
+                np.int64)
+            # segments hold disjoint contiguous doc ranges, ascending in
+            # seg_id (rows arrive seg-sorted), so postings are already
+            # doc-sorted per group; lexsort is a cheap robustness net.
+            order = np.lexsort((doc, post_gid))
+            doc, tfs, fls = doc[order], tfs[order], fls[order]
+            (d_b, t_b, f_b, bl, bmt, bmf, d_o, t_o, f_o) = (
+                codec.encode_groups(doc.astype(np.uint64),
+                                    tfs.astype(np.uint64),
+                                    fls.astype(np.uint64), gstarts)
+            )
+            segs = chunk["seg_id"].to_numpy()
+            rbounds = np.append(rstarts, len(chunk))
+            yield pd.DataFrame({
+                "term": chunk["term"].to_numpy()[rstarts],
+                "field": chunk["field"].to_numpy()[rstarts],
+                "shard_id": chunk["shard_id"].to_numpy()[rstarts]
+                .astype("int32"),
+                "n_shards": chunk["n_shards"].to_numpy()[rstarts]
+                .astype("int32"),
+                "term_df": chunk["term_df"].to_numpy()[rstarts]
+                .astype("int32"),
+                "term_cf": chunk["term_cf"].to_numpy()[rstarts]
+                .astype("int64"),
+                "df": gsizes.astype("int32"),
+                "cf": np.add.reduceat(tfs, gstarts).astype("int64"),
+                "doc_ids": d_b, "tfs": t_b, "fls": f_b,
+                "block_last": bl, "block_max_tf": bmt, "block_min_fl": bmf,
+                "block_doc_off": d_o, "block_tf_off": t_o, "block_fl_off": f_o,
+                "src_segs": [
+                    [int(s) for s in segs[a:b]]
+                    for a, b in zip(rbounds[:-1], rbounds[1:])
+                ],
+            })
+
+    n_parts = int(seg.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        seg.repartition(n_parts, "term", "field", "shard_id")
+        .sortWithinPartitions("term", "field", "shard_id", "seg_id")
+        .mapInPandas(merge_stream, schema=schemas.POSTINGS)
     )
 
 
@@ -386,19 +492,26 @@ class IndexBuilder:
         root = self.index_dir
         spark = self.spark
 
+        n_docs = None
         if not (resume and catalog.is_complete(root, "docs")):
             def _docs():
-                docs = assign_doc_ids(docs_from_pages(pages))
+                from pyspark.sql import Observation
+
+                docs = assign_doc_ids(docs_from_pages(pages),
+                                      pre_ranged=True)
+                obs = Observation("docs_n")
+                docs = docs.observe(obs, F.count(F.lit(1)).alias("n"))
                 catalog.write_table(docs, root, "docs")
-                n = catalog.read_table(spark, root, "docs").count()
+                n = int(obs.get["n"])  # counted during the write job
                 catalog.append_lineage(spark, root, [
                     {"stage": "docs", "n_docs": n}
                 ])
                 return n
-            self._timed("docs", _docs)
+            n_docs = self._timed("docs", _docs)
 
         docs = catalog.read_table(spark, root, "docs")
-        n_docs = docs.count()
+        if n_docs is None:
+            n_docs = docs.count()
         self.n_docs = n_docs
 
         if not (resume and catalog.is_complete(root, "term_freqs")):
@@ -426,19 +539,27 @@ class IndexBuilder:
 
         if not (resume and catalog.is_complete(root, "postings")):
             def _merge():
+                from pyspark.sql import Observation
+
                 seg = catalog.read_table(spark, root, "postings_seg")
                 merged = merge_segments(
                     seg, self.n_segments, shard_size=self.shard_size
                 )
                 merged = with_term_bucket(merged, self.n_term_buckets)
+                # one file per term bucket (not tasks × buckets)
+                merged = merged.repartition(self.n_term_buckets, "tbucket")
+                obs = Observation("postings_n")
+                merged = merged.observe(
+                    obs, F.count(F.lit(1)).alias("n"),
+                    F.sum("df").alias("p"),
+                )
                 catalog.write_table(merged, root, "postings",
                                     partition_by=["tbucket"])
-                stats = catalog.read_table(spark, root, "postings").agg(
-                    F.count("*"), F.sum("df")).collect()[0]
+                m = obs.get
                 catalog.append_lineage(spark, root, [{
                     "stage": "postings",
-                    "n_terms": int(stats[0]),
-                    "n_docs": int(stats[1] or 0),
+                    "n_terms": int(m["n"]),
+                    "n_docs": int(m["p"] or 0),
                 }])
             self._timed("postings", _merge)
 
@@ -463,6 +584,8 @@ class IndexBuilder:
             for b in range(0, len(missing), per_batch):
                 batch = missing[b:b + per_batch]
                 seg_df = build_segments(tf.where(F.col("seg_id").isin(batch)))
+                # ~one file per segment instead of tasks × segments
+                seg_df = seg_df.repartition(len(batch), "seg_id")
                 (seg_df.write.mode("append")
                     .partitionBy("seg_id")
                     .parquet(catalog.table_path(root, "postings_seg")))

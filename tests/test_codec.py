@@ -108,3 +108,42 @@ def test_random_block_access():
             tfs[b * 128:(b + 1) * 128].astype(np.int64) for b in subset
         ])
         assert t.tolist() == expect_tf.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Batched kernels: bit-identity vs the per-group reference path
+# ---------------------------------------------------------------------------
+def test_encode_groups_matches_per_group():
+    import numpy as np
+
+    from search_engine_wikipedia_spark.functions import codec
+
+    rng = np.random.default_rng(42)
+    groups = []
+    for sizes in ([1], [1, 2, 3], [127, 128, 129, 400], [1000]):
+        for n in sizes:
+            docs = np.sort(
+                rng.choice(5_000_000, size=n, replace=False)
+            ).astype(np.uint64)
+            tfs = rng.integers(1, 200, size=n).astype(np.uint64)
+            fls = rng.integers(1, 4000, size=n).astype(np.uint64)
+            groups.append((docs, tfs, fls))
+    doc = np.concatenate([g[0] for g in groups])
+    tf = np.concatenate([g[1] for g in groups])
+    fl = np.concatenate([g[2] for g in groups])
+    starts = np.concatenate(
+        [[0], np.cumsum([len(g[0]) for g in groups])[:-1]]
+    ).astype(np.int64)
+
+    out = codec.encode_groups(doc, tf, fl, starts)
+    for i, (d, t, f) in enumerate(groups):
+        ref = codec.encode_postings(d, t, f)
+        got = tuple(col[i] for col in out)
+        assert tuple(ref) == got, f"group {i} mismatch"
+
+    dd, tt, ff = codec.decode_concat(
+        out[0], out[1], out[2], np.array([len(g[0]) for g in groups])
+    )
+    assert np.array_equal(dd, doc.astype(np.int64))
+    assert np.array_equal(tt, tf.astype(np.int64))
+    assert np.array_equal(ff, fl.astype(np.int64))

@@ -166,3 +166,22 @@ def test_clean_text_byte_identity_in_table(spark, built_index):
         d = int(r["doc_id"])
         assert r["clean_text"] == oracle.docs[d][2]
         assert list(r["links"]) == oracle.docs[d][3]
+
+
+def test_search_many_broadcast_rank_identical(spark, built_index):
+    """Broadcast-postings serving plan == join-based batch plan."""
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex, search_batch, search_many_broadcast,
+    )
+
+    root, oracle = built_index
+    idx = SearchIndex(spark, root)
+    queries = ["Roman Empire", "Solar energy", "DNA", "Maya"]
+    a = search_batch(idx, queries, limit=10, exp=False,
+                     page_rank=False).collect()
+    b = search_many_broadcast(idx, queries, limit=10).collect()
+    ka = sorted((r["query_id"], r["rank"], r["doc_id"],
+                 round(r["score"], 9)) for r in a)
+    kb = sorted((r["query_id"], r["rank"], r["doc_id"],
+                 round(r["score"], 9)) for r in b)
+    assert ka == kb
