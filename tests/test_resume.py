@@ -1,0 +1,91 @@
+"""Checkpoint/resume (north rule: "resumable from checkpoint with
+per-partition lineage").
+
+Simulates executor/driver loss mid-segment-phase via fault injection,
+then resumes and asserts (a) completed segments are NOT recomputed
+(segment-level lineage drives the skip) and (b) the resumed index is
+byte-identical to a clean single-shot build.
+"""
+
+import pandas as pd
+import pytest
+
+from search_engine_wikipedia_spark import schemas
+from search_engine_wikipedia_spark.operators import build as build_mod
+from search_engine_wikipedia_spark.sources import catalog
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, corpus):
+    return spark.createDataFrame(pd.DataFrame(corpus), schema=schemas.PAGES)
+
+
+def _postings_fingerprint(spark, root):
+    rows = (
+        catalog.read_table(spark, root, "postings")
+        .select("term", "field", "shard_id", "n_shards", "term_df",
+                "term_cf", "df", "cf", "doc_ids", "tfs", "fls")
+        .collect()
+    )
+    return sorted(
+        (r["term"], r["field"], r["shard_id"], r["n_shards"], r["term_df"],
+         r["term_cf"], r["df"], r["cf"], bytes(r["doc_ids"]),
+         bytes(r["tfs"]), bytes(r["fls"]))
+        for r in rows
+    )
+
+
+def test_segment_failure_resume_identical(spark, pages_df, tmp_path,
+                                          monkeypatch):
+    clean_root = str(tmp_path / "clean")
+    build_mod.IndexBuilder(
+        spark, clean_root, n_segments=4, shard_size=200
+    ).build(pages_df, resume=False)
+    clean = _postings_fingerprint(spark, clean_root)
+
+    # --- faulty build: die on the 3rd segment batch --------------------
+    root = str(tmp_path / "faulty")
+    calls = {"n": 0}
+    orig = build_mod.build_segments
+
+    def flaky(tf):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected executor loss")
+        return orig(tf)
+
+    monkeypatch.setattr(build_mod, "build_segments", flaky)
+    builder = build_mod.IndexBuilder(
+        spark, root, n_segments=4, shard_size=200, segment_batches=4
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        builder.build(pages_df, resume=True)
+
+    done = catalog.completed_segments(spark, root, "postings_seg")
+    assert len(done) == 2, done  # two batches committed before the loss
+
+    # --- resume: only the missing segments run -------------------------
+    monkeypatch.setattr(build_mod, "build_segments", orig)
+    calls_before = calls["n"]
+    resumed = build_mod.IndexBuilder(
+        spark, root, n_segments=4, shard_size=200, segment_batches=4
+    )
+    resumed.build(pages_df, resume=True)
+    # earlier stages were skipped entirely (no docs/tf re-timing)
+    assert "docs" not in resumed.metrics
+    assert "term_freqs" not in resumed.metrics
+    assert calls["n"] == calls_before  # our counter: orig restored
+
+    assert catalog.completed_segments(spark, root, "postings_seg") == {
+        0, 1, 2, 3}
+    assert _postings_fingerprint(spark, root) == clean
+
+
+def test_resume_noop_when_complete(spark, pages_df, tmp_path):
+    root = str(tmp_path / "idx")
+    build_mod.IndexBuilder(
+        spark, root, n_segments=2, shard_size=200
+    ).build(pages_df, resume=False)
+    again = build_mod.IndexBuilder(spark, root, n_segments=2, shard_size=200)
+    again.build(pages_df, resume=True)
+    assert again.metrics == {}  # every stage skipped via manifests
