@@ -53,20 +53,6 @@ def spark_submit(script: str, cores: int, extra: list[str],
     return m
 
 
-def best_of(n_runs: int, key: str, fn) -> dict:
-    """Run ``fn(run_idx)`` n times, keep the best-throughput result.
-
-    The sandbox host throttles CPU in bursts (steal spikes) and stalls
-    I/O unpredictably; best-of-N isolates the machine's actual capacity
-    at each parallelism level from that noise (both levels get the same
-    treatment).  All runs are recorded in the JSON.
-    """
-    runs = [fn(i) for i in range(n_runs)]
-    best = max(runs, key=lambda m: m[key])
-    best["all_runs"] = [
-        {"wall_sec": m["wall_sec"], key: m[key]} for m in runs
-    ]
-    return best
 
 
 def main() -> None:
@@ -114,32 +100,39 @@ spark.stop()
             sys.stderr.write(gen.stderr[-4000:])
             raise SystemExit("corpus generation failed")
 
-    for cores in (args.cores_low, args.cores_high):
-        idx = os.path.join(args.workdir, f"idx_{args.n_docs}_{cores}")
-
-        def run_build(i, cores=cores, idx=idx):
+    # Runs are INTERLEAVED across parallelism levels (low, high, low,
+    # high, …) so both levels sample the same host-throttle epochs —
+    # this box's burst-credit throttling swings job times 3-4× across
+    # minutes, and measuring one level entirely before the other would
+    # compare different machines.  Best-of-N per level then cancels the
+    # throttled epochs out.
+    raw: dict = {(j, c): [] for j in ("build", "query")
+                 for c in (args.cores_low, args.cores_high)}
+    for i in range(args.runs):
+        for cores in (args.cores_low, args.cores_high):
+            idx = os.path.join(args.workdir, f"idx_{args.n_docs}_{cores}")
             shutil.rmtree(idx, ignore_errors=True)
             print(f"== build @ local[{cores}] run {i} ==",
                   file=sys.stderr, flush=True)
-            return spark_submit(
+            raw[("build", cores)].append(spark_submit(
                 os.path.join(REPO, "jobs", "build_index.py"), cores,
                 ["--input", corpus, "--index-dir", idx, "--no-resume"],
                 os.path.join(args.workdir, f"build_{cores}_{i}.json"),
-            )
-
-        def run_query(i, cores=cores, idx=idx):
+            ))
             print(f"== query @ local[{cores}] run {i} ==",
                   file=sys.stderr, flush=True)
-            return spark_submit(
+            raw[("query", cores)].append(spark_submit(
                 os.path.join(REPO, "jobs", "run_queries.py"), cores,
                 ["--index-dir", idx, "--repeat", str(args.repeat_queries)],
                 os.path.join(args.workdir, f"query_{cores}_{i}.json"),
-            )
-
-        results["build"][cores] = best_of(args.runs, "docs_per_sec",
-                                          run_build)
-        results["query"][cores] = best_of(args.runs, "queries_per_sec",
-                                          run_query)
+            ))
+    for (job, cores), runs in raw.items():
+        key = "docs_per_sec" if job == "build" else "queries_per_sec"
+        best = max(runs, key=lambda m: m[key])
+        best["all_runs"] = [
+            {"wall_sec": m["wall_sec"], key: m[key]} for m in runs
+        ]
+        results[job][cores] = best
 
     ratio = args.cores_high / args.cores_low
     lo, hi = args.cores_low, args.cores_high
