@@ -40,7 +40,13 @@ def spark_submit(script: str, cores: int, extra: list[str],
         f"--conf spark.local.dir=/dev/shm/sewiki_spark_local "
         f"--conf spark.ui.enabled=false pyspark-shell"
     )
-    cmd = [sys.executable, script, "--metrics-out", metrics_path] + extra
+    # Pin the whole process tree (JVM + python workers) to exactly
+    # ``cores`` CPUs: without affinity a local[2] JVM borrows idle CPUs
+    # for GC/shuffle/compression threads, flattering the low-parallelism
+    # wall time and corrupting the N-vs-4N comparison.  A real
+    # N-executor cluster pays those threads inside its N cores.
+    cmd = ["taskset", "-c", f"0-{cores - 1}",
+           sys.executable, script, "--metrics-out", metrics_path] + extra
     t0 = time.perf_counter()
     r = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True)
     wall = time.perf_counter() - t0
