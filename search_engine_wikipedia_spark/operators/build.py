@@ -147,6 +147,11 @@ def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None,
             yield pdf
 
     numbered = parted.mapInPandas(number, schema=out_schema)
+    # the cache exists so the count pass and the numbering pass share
+    # one run of the upstream UDFs; expose it so the caller can release
+    # it once the numbered output is materialized (at 100 TB a cached
+    # cleaned corpus held for the session is real memory pressure).
+    numbered._sewiki_cached = parted
     return numbered
 
 
@@ -497,11 +502,13 @@ class IndexBuilder:
             def _docs():
                 from pyspark.sql import Observation
 
-                docs = assign_doc_ids(docs_from_pages(pages),
-                                      pre_ranged=True)
+                numbered = assign_doc_ids(docs_from_pages(pages),
+                                          pre_ranged=True)
                 obs = Observation("docs_n")
-                docs = docs.observe(obs, F.count(F.lit(1)).alias("n"))
+                docs = numbered.observe(obs, F.count(F.lit(1)).alias("n"))
                 catalog.write_table(docs, root, "docs")
+                # docs table is on disk — release the cached cleaned corpus
+                numbered._sewiki_cached.unpersist()
                 n = int(obs.get["n"])  # counted during the write job
                 catalog.append_lineage(spark, root, [
                     {"stage": "docs", "n_docs": n}
@@ -592,9 +599,24 @@ class IndexBuilder:
                 seg_df = build_segments(tf.where(F.col("seg_id").isin(batch)))
                 # ~one file per segment instead of tasks × segments
                 seg_df = seg_df.repartition(len(batch), "seg_id")
-                (seg_df.write.mode("append")
-                    .partitionBy("seg_id")
-                    .parquet(catalog.table_path(root, "postings_seg")))
+                # Dynamic partition OVERWRITE, not append: a crash in the
+                # window between the parquet job commit and the lineage
+                # append below leaves committed seg_id= dirs with no
+                # lineage row; resume re-runs those segments, and an
+                # append would then DUPLICATE their postings.  Dynamic
+                # overwrite replaces exactly the seg_id= dirs present in
+                # this batch's output, making segment re-runs idempotent.
+                prev_mode = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static")
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    (seg_df.write.mode("overwrite")
+                        .partitionBy("seg_id")
+                        .parquet(catalog.table_path(root, "postings_seg")))
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev_mode)
                 rows = (
                     spark.read.parquet(catalog.table_path(root, "postings_seg"))
                     .where(F.col("seg_id").isin(batch))

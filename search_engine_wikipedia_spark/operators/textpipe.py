@@ -64,11 +64,20 @@ def _spread(df: DataFrame) -> DataFrame:
     serializing every downstream tokenize/shingle stage.  At real scale
     (100 TB ⇒ thousands of splits ≥ defaultParallelism) this is a
     no-op, so the extra shuffle exists only where it's free.
+
+    The check reads the scan's file list (cheap driver-side listing) —
+    NOT ``df.rdd`` (which forces a full plan→RDD conversion per call).
+    Non-scan inputs report no files and take the repartition, which is
+    the safe default for the tiny literal DataFrames that produce them.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def token_array(col: Column) -> Column:
@@ -302,6 +311,7 @@ def pagerank_iterations(documents: DataFrame, edges: DataFrame,
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     graph = edges.join(outdeg, "src").cache()
     ranks = nodes.select("doc_id", F.lit(1.0 / n_docs).alias("pr"))
+    prev_tmp = None
     for _ in range(n_iter):
         contribs = (
             graph.join(ranks, graph["src"] == ranks["doc_id"])
@@ -318,6 +328,12 @@ def pagerank_iterations(documents: DataFrame, edges: DataFrame,
             )
         ).cache()
         total = tmp.agg(F.sum("tmp")).collect()[0][0] or 0.0
+        # the collect above materialized the new cache; the previous
+        # iteration's table is dead — release it so storage stays
+        # bounded at ONE (doc_id, tmp) table regardless of n_iter.
+        if prev_tmp is not None:
+            prev_tmp.unpersist()
+        prev_tmp = tmp
         ranks = tmp.select(
             "doc_id",
             (F.col("tmp") + F.lit((1.0 - total) / n_docs)).alias("pr"),
@@ -343,10 +359,10 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word-``n``-gram shingles."""
-    arr = raw_token_array(F.col("text"))
-    sh = F.when(
+def shingle_array(n: int = 3, col: str = "text") -> Column:
+    """array<string> of word-``n``-gram shingles (with duplicates)."""
+    arr = raw_token_array(F.col(col))
+    return F.when(
         F.size(arr) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(arr) - n),
@@ -355,9 +371,14 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-``n``-gram shingles."""
     return (
         _spread(documents)
-        .select("doc_id", F.explode(sh).alias("shingle")).distinct()
+        .select("doc_id", F.explode(shingle_array(n)).alias("shingle"))
+        .distinct()
     )
 
 
@@ -368,18 +389,30 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
     Hash family: ``md5(seed || ':' || shingle)`` compared as strings —
     deterministic, engine-agnostic (the SQL oracle reproduces it
     exactly), uniform enough for Jaccard estimation.
+
+    Plan shape (the 100 TB story): a pure NARROW map — the per-seed
+    minima are computed per document with higher-order functions
+    (``transform`` + ``array_min`` over the in-row shingle array), so
+    the operator needs ZERO shuffles and no row explosion (the previous
+    formulation exploded shingles×seeds before a groupBy — 16× the
+    shuffle volume of the corpus).  ``array_min`` over the md5 array is
+    duplicate-insensitive, so the shingle-distinct shuffle is avoided
+    too.  Docs with no shingles emit no rows (array_min(∅) = null,
+    filtered), matching the aggregate formulation and the SQL oracle.
     """
-    sh = shingles(documents, shingle_n)
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id", "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                           F.col("shingle"))).alias("h"),
+    base = _spread(documents).select(
+        "doc_id", shingle_array(shingle_n).alias("sh")
+    )
+    def seed_min(seed: int) -> Column:
+        prefix = F.lit(f"{seed}:")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(prefix, s)))
         )
-        .groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+
+    mins = F.array(*[seed_min(seed) for seed in range(n_hashes)])
+    return (
+        base.select("doc_id", F.posexplode(mins).alias("seed", "mh"))
+        .where(F.col("mh").isNotNull())
     )
 
 
@@ -421,16 +454,37 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4
 
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
-                        k: int = 20) -> DataFrame:
+                        k: int = 20,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Top-``k`` pairs by exact n-gram Jaccard similarity.
 
     |∩| via a shingle self-join, |∪| = |A|+|B|−|∩|.  Deterministic
     order: (round(jaccard,6) desc, a, b).
+
+    Scale guard: an uncapped shingle self-join is O(df²) per shingle —
+    one boilerplate phrase shared by 10⁶ docs would emit 10¹² pairs.
+    ``max_shingle_df`` drops shingles with df above the cap from the
+    JOIN side before pairing (they carry ~no similarity signal; set
+    sizes for the union stay exact, so the reported Jaccard is a lower
+    bound for pairs that relied on hot shingles).  The default (None =
+    exact) is the small-scale/test setting; a production run at 10¹²
+    docs sets a cap (e.g. 1000) or routes to ``lsh_candidate_pairs``,
+    which is bucketed by construction.
     """
     sh = shingles(documents, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    left = sh.select(F.col("doc_id").alias("a"), "shingle")
-    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        # |hot| ≤ total_postings/cap — small by construction, broadcastable
+        sh_j = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_j = sh
+    left = sh_j.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh_j.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
         left.join(right, "shingle")
         .where(F.col("a") < F.col("b"))
@@ -459,31 +513,32 @@ def simhash32(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash) 32-bit tf-weighted SimHash fingerprint.
 
     Token hash = first 8 hex chars of md5 as uint32; bit b of the
-    fingerprint is set iff Σ_tokens tf·(2·bit_b(h)−1) > 0.  Bit
-    extraction uses floor(h/2^b) % 2 (exact in double for h < 2^32) so
-    the SQL oracle can mirror it verbatim.
+    fingerprint is set iff Σ_tokens tf·(2·bit_b(h)−1) > 0.
+
+    Plan shape: ONE groupBy(doc_id) with 32 bitwise sum aggregates
+    (``(h >> b) & 1`` — exact long arithmetic, codegen-only).  The
+    shuffle carries the map-side-combined partial sums — one 32-long
+    row per (partition, doc) — instead of the 32-row-per-posting
+    explode of the naive formulation (32× the tf table's volume).
+    The SQL oracle keeps the explode formulation (DuckDB-side cost is
+    irrelevant); results are identical by construction.
     """
     tf = tokens_tf(documents)
     h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    bits = tf.select(
-        "doc_id", "tf", h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    )
-    bit = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b")))
-           .cast("long") % 2)
-    return (
-        bits.withColumn("contrib", F.col("tf") * (2 * bit - 1))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0,
-                   F.pow(F.lit(2.0), F.col("b")).cast("long"))
-            .otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    base = tf.select("doc_id", "tf", h.alias("h"))
+    bit_sums = base.groupBy("doc_id").agg(*[
+        F.sum(
+            F.col("tf")
+            * (2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ])
+    fingerprint = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,70 @@ def test_segment_failure_resume_identical(spark, pages_df, tmp_path,
     assert _postings_fingerprint(spark, root) == clean
 
 
+def test_crash_between_write_and_lineage_no_duplicates(spark, pages_df,
+                                                       tmp_path, monkeypatch):
+    """The atomicity window: segment parquet COMMITS, then the driver
+    dies before the lineage row lands.  Resume must re-run that segment
+    WITHOUT duplicating its postings (dynamic partition overwrite makes
+    the re-run idempotent)."""
+    clean_root = str(tmp_path / "clean")
+    build_mod.IndexBuilder(
+        spark, clean_root, n_segments=4, shard_size=200
+    ).build(pages_df, resume=False)
+    clean = _postings_fingerprint(spark, clean_root)
+
+    root = str(tmp_path / "faulty")
+    orig_lineage = catalog.append_lineage
+    seg_calls = {"n": 0}
+
+    def dying_lineage(spark_, root_, rows):
+        if rows and rows[0].get("stage") == "postings_seg":
+            seg_calls["n"] += 1
+            if seg_calls["n"] == 2:
+                # parquet job for batch 2 already committed; lineage lost
+                raise RuntimeError("injected driver loss before lineage")
+        return orig_lineage(spark_, root_, rows)
+
+    monkeypatch.setattr(build_mod.catalog, "append_lineage", dying_lineage)
+    with pytest.raises(RuntimeError, match="injected"):
+        build_mod.IndexBuilder(
+            spark, root, n_segments=4, shard_size=200, segment_batches=4
+        ).build(pages_df, resume=True)
+
+    # batch 2's files are on disk but unrecorded — the crash window
+    done = catalog.completed_segments(spark, root, "postings_seg")
+    assert len(done) == 1, done
+    orphan_rows = (
+        spark.read.parquet(catalog.table_path(root, "postings_seg")).count()
+    )
+    assert orphan_rows > 0
+
+    monkeypatch.setattr(build_mod.catalog, "append_lineage", orig_lineage)
+    build_mod.IndexBuilder(
+        spark, root, n_segments=4, shard_size=200, segment_batches=4
+    ).build(pages_df, resume=True)
+    assert catalog.completed_segments(spark, root, "postings_seg") == {
+        0, 1, 2, 3}
+    assert _postings_fingerprint(spark, root) == clean
+
+
+def _persistent_rdd_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_build_releases_caches(spark, pages_df, tmp_path):
+    """IndexBuilder.build must not leave new session-lifetime caches
+    (the cleaned-corpus cache of assign_doc_ids is released after the
+    docs table commits)."""
+    before = _persistent_rdd_ids(spark)
+    build_mod.IndexBuilder(
+        spark, str(tmp_path / "idx"), n_segments=2, shard_size=200
+    ).build(pages_df, resume=False)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert leaked == set(), leaked
+
+
 def test_resume_noop_when_complete(spark, pages_df, tmp_path):
     root = str(tmp_path / "idx")
     build_mod.IndexBuilder(
