@@ -138,6 +138,90 @@ def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     )
 
 
+# k-means coarse-quantizer oracle (unrolled Lloyd iterations) ----------
+KM_K, KM_ITER, KM_DIM = 8, 3, 64
+
+
+def _kmeans_ctes(k: int = KM_K, n_iter: int = KM_ITER,
+                 dim: int = KM_DIM) -> str:
+    """CTE chain ending in final centroids ``c{n_iter}`` and final
+    assignment ``af`` — mirrors operators/ann.py:kmeans_fit exactly
+    (init = k lowest vec_ids; dist and means rounded to 6 before any
+    ranking; empty cells keep the previous centroid)."""
+    rng = f"range(1, {dim + 1})"
+
+    def sqd(e: str, c: str) -> str:
+        return (f"round(list_sum(list_transform({rng}, "
+                f"j -> ({e}[j]-{c}[j])*({e}[j]-{c}[j]))), 6)")
+
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INTEGER) AS cell, list_transform(emb, x -> round(x, 6)) AS cent "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT e.vec_id, c.cell, row_number() OVER "
+            f"(PARTITION BY e.vec_id ORDER BY {sqd('e.emb', 'c.cent')}, "
+            f"c.cell) AS rn FROM e CROSS JOIN c{i-1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT a.cell, p.j AS pos, "
+            f"round(avg(e.emb[p.j]), 6) AS v "
+            f"FROM a{i} a JOIN e USING (vec_id), unnest({rng}) AS p(j) "
+            f"GROUP BY a.cell, p.j)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT c.cell, CASE WHEN count(u.v) = 0 "
+            f"THEN any_value(c.cent) ELSE list(u.v ORDER BY u.pos) END "
+            f"AS cent FROM c{i-1} c LEFT JOIN u{i} u USING (cell) "
+            f"GROUP BY c.cell)"
+        )
+    parts.append(
+        f"af AS (SELECT vec_id, cell FROM ("
+        f"SELECT e.vec_id, c.cell, row_number() OVER "
+        f"(PARTITION BY e.vec_id ORDER BY {sqd('e.emb', 'c.cent')}, "
+        f"c.cell) AS rn FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+def _kmeans_centroids_sql() -> str:
+    return (
+        f"WITH {_kmeans_ctes()}\n"
+        f"SELECT cell, CAST(p.j - 1 AS INTEGER) AS pos, cent[p.j] AS val "
+        f"FROM c{KM_ITER}, unnest(range(1, {KM_DIM + 1})) AS p(j)"
+    )
+
+
+def _ivf_trained_sql(k: int = 5) -> str:
+    rng = f"range(1, {KM_DIM + 1})"
+    probe_sql = ", ".join(str(p) for p in PROBE_IDS)
+    return f"""
+WITH {_kmeans_ctes()},
+pr AS (SELECT q.vec_id AS qid, q.cell, e.emb AS qe
+       FROM af q JOIN e USING (vec_id) WHERE q.vec_id IN ({probe_sql})),
+cand AS (SELECT a.vec_id, a.cell, e.emb AS de
+         FROM af a JOIN e USING (vec_id)),
+c AS (
+  SELECT pr.qid, cand.vec_id,
+         round(list_sum(list_transform({rng}, j -> pr.qe[j]*cand.de[j]))
+               / sqrt(list_sum(list_transform({rng}, j -> pr.qe[j]*pr.qe[j]))
+                    * list_sum(list_transform({rng}, j -> cand.de[j]*cand.de[j]))),
+               6) AS cos
+  FROM pr JOIN cand ON pr.cell = cand.cell AND cand.vec_id != pr.qid
+),
+r AS (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id)
+                  AS INTEGER) AS rank FROM c)
+SELECT qid, rank, vec_id, cos FROM r WHERE rank <= {k}
+"""
+
+
 SHINGLE_CTE = f"""
 sh AS (
   SELECT DISTINCT b.doc_id, u.shingle
@@ -201,8 +285,56 @@ def _wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _wand_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal cross-check for the flagship WAND path: the block-max
+    kernel's top-10 (per ENGINE_QUERIES, AND group) joined against an
+    INDEPENDENT relational BM25F plan over the same index tables
+    (plans/query.py:search_batch_relational — no WAND, no codec).
+    ``agree`` must be true on every row; rows-only for the driver (the
+    relational side needs Porter-stemmed terms, not SQL-expressible),
+    asserted in tests/test_entry_contract.py."""
+    from pyspark.sql import Window
+
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex, search_batch, search_batch_relational,
+    )
+
+    root = _engine_index(spark, sf_dir)
+    idx = SearchIndex(spark, root)
+    wand_raw = search_batch(idx, ENGINE_QUERIES, limit=10, exp=False,
+                            page_rank=False, group="AND")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    wres = (
+        wand_raw.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank",
+                F.col("doc_id").alias("wand_doc_id"),
+                F.round("score", 6).alias("wand_score"))
+    )
+    rel = search_batch_relational(
+        idx, ENGINE_QUERIES, limit=10, group="AND"
+    ).select("query_id", "rank",
+             F.col("doc_id").alias("rel_doc_id"),
+             F.col("score").alias("rel_score"))
+    return (
+        wres.join(rel, ["query_id", "rank"], "full")
+        .select(
+            "query_id", "rank", "wand_doc_id", "wand_score",
+            "rel_doc_id", "rel_score",
+            (
+                F.col("wand_doc_id").eqNullSafe(F.col("rel_doc_id"))
+                & (F.abs(F.col("wand_score") - F.col("rel_score")) < 1e-9)
+            ).alias("agree"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing with the deterministic decode stub."""
+    """Binary-payload pipeline with REAL byte-level features (entropy /
+    mean byte / printable density — numpy kernel over Arrow batches),
+    fully mirrored by the DuckDB oracle."""
     from search_engine_wikipedia_spark.operators import multimodal as mm
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -213,11 +345,36 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    feats = mm.extract_features(media, deterministic_stub=True)
-    return feats.select(
-        "doc_id", "media_type", "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-    )
+    return mm.byte_features(media)
+
+
+MULTIMODAL_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, ('0x' || substr(h, 2*p.i - 1, 2))::INTEGER AS v
+  FROM b, unnest(range(1, n + 1)) AS p(i)
+),
+hist AS (SELECT doc_id, n, v, CAST(count(*) AS DOUBLE) AS c
+         FROM bytes GROUP BY doc_id, n, v),
+m AS (
+  SELECT doc_id,
+         CAST(any_value(n) AS INTEGER) AS n_bytes,
+         -sum((c/n)*log2(c/n)) AS ent,
+         sum(v*c)/any_value(n) AS mb,
+         sum(CASE WHEN v >= 32 AND v < 127 THEN c ELSE 0 END)
+           /any_value(n) AS pr
+  FROM hist GROUP BY doc_id
+)
+SELECT d.doc_id, 'text' AS media_type,
+       coalesce(m.n_bytes, 0) AS n_bytes,
+       round(coalesce(m.ent, 0.0), 6) AS entropy,
+       round(coalesce(m.mb, 0.0), 6) AS mean_byte,
+       round(coalesce(m.pr, 0.0), 6) AS printable_ratio
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -273,8 +430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(
             _emb(s, d), PROBE_IDS, k=10),
         "ann_ivf_topk": lambda s, d: ann.ivf_topk(_emb(s, d), PROBE_IDS, k=5),
-        # rows-only: full engine + multimodal stub
+        "kmeans_centroids": lambda s, d: ann.kmeans_centroids(
+            _emb(s, d), k=8, n_iter=3),
+        "ann_ivf_trained": lambda s, d: ann.ivf_trained_topk(
+            _emb(s, d), PROBE_IDS, k=5, n_cells=8, n_iter=3),
+        # full engine (WAND kernel; rows-only) + its relational referee
         "wand_topk": _wand_topk,
+        "wand_consistency": _wand_consistency,
         "multimodal_features": _multimodal_features,
     }
     return q
@@ -485,6 +647,9 @@ r AS (SELECT qid, vec_id, cos,
                                      ORDER BY cos DESC, vec_id)
                   AS INTEGER) AS rank FROM c)
 SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 5""",
-        # wand_topk / multimodal_features: rows-only (WAND + Porter
-        # stemming + md5-byte features are not ANSI-SQL-expressible).
+        "kmeans_centroids": _kmeans_centroids_sql(),
+        "ann_ivf_trained": _ivf_trained_sql(5),
+        "multimodal_features": MULTIMODAL_SQL,
+        # wand_topk: rows-only (WAND + Porter stemming are not
+        # ANSI-SQL-expressible); cross-checked by wand_consistency.
     }

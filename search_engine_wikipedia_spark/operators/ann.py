@@ -94,10 +94,146 @@ def cosine_topk(embeddings: DataFrame, probe_ids: list[int],
 
 def ivf_topk(embeddings: DataFrame, probe_ids: list[int],
              k: int = 5) -> DataFrame:
-    """IVF-pruned cosine top-k: candidates share the probe's cell
-    (``label`` = coarse quantizer cell) → (qid, rank, vec_id, cos)."""
+    """IVF-pruned cosine top-k with a PRE-BUCKETED cell id: candidates
+    share the probe's cell (``label`` = cell id computed at ingest,
+    which is how an IVF index materializes physically on a 100 TB
+    table) → (qid, rank, vec_id, cos).  For the self-contained variant
+    that trains its own coarse quantizer, see ``ivf_trained_topk``."""
     probes = embeddings.where(F.col("vec_id").isin(probe_ids))
     sims = _pairwise_cosine(probes, embeddings, join_on=["label"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: k-means coarse quantizer (Lloyd iterations as DataFrame
+# aggregations) + cell-pruned search.
+# ---------------------------------------------------------------------------
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² in list order (both engines sum left-to-right)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(embeddings: DataFrame, centroids: DataFrame,
+                 n_probe: int = 1) -> DataFrame:
+    """(vec_id, cell): nearest ``n_probe`` centroids per vector.
+
+    Broadcast the (tiny) centroid table, squared-distance via native
+    higher-order functions, per-vector window argmin.  Distances are
+    rounded to 6 decimals BEFORE ranking and ties break on cell id, so
+    the SQL oracle's argmin agrees exactly.  This narrow map is the
+    whole scale story of IVF ingest: one pass, no shuffle beyond the
+    windowing (at 10^12 rows the window is replaced by the same
+    expression folded into a ``min_by`` aggregate per vector — shape
+    identical).
+    """
+    e = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", F.round(_sqdist(F.col("emb"), F.col("cent")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("vec_id", "cell")
+    )
+
+
+def kmeans_fit(embeddings: DataFrame, k: int = 8,
+               n_iter: int = 3) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means; returns driver-held centroids [(cell, vector)].
+
+    Deterministic and oracle-mirrorable: init = the ``k`` lowest-vec_id
+    embeddings (seed-free), each update rounds the per-dimension mean
+    to 6 decimals, empty cells keep their previous centroid.  The
+    centroid set is tiny by definition (a coarse quantizer must fit in
+    every executor for the assignment broadcast), so collecting it per
+    iteration is the correct topology, not a driver-side bottleneck;
+    the per-iteration heavy lifting (assignment + per-cell mean) runs
+    as distributed aggregations.  At 10^12 rows one fits on a sampled
+    subset (standard IVF practice) — the plan is unchanged.
+    """
+    spark = embeddings.sparkSession
+    init = embeddings.orderBy("vec_id").limit(k).collect()
+    cents = [
+        (i, [round(float(x), 6) for x in r["embedding"]])
+        for i, r in enumerate(init)
+    ]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(cents, "cell int, cent array<double>")
+        assigned = assign_cells(embeddings, cdf)
+        upd = (
+            embeddings.join(assigned, "vec_id")
+            .select(
+                "cell",
+                F.posexplode(_to_double(F.col("embedding")))
+                .alias("pos", "v"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
+                 .alias("pv"))
+            .select("cell", F.transform("pv", lambda s: s["v"]).alias("cent"))
+            .collect()
+        )
+        upd_map = {int(r["cell"]): [float(v) for v in r["cent"]]
+                   for r in upd}
+        cents = [(c, upd_map.get(c, cent)) for c, cent in cents]
+    return cents
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 8,
+                     n_iter: int = 3) -> DataFrame:
+    """Trained centroids exploded to (cell, pos, val) scalar rows."""
+    spark = embeddings.sparkSession
+    cents = kmeans_fit(embeddings, k, n_iter)
+    cdf = spark.createDataFrame(cents, "cell int, cent array<double>")
+    return cdf.select(
+        "cell", F.posexplode("cent").alias("pos", "val")
+    )
+
+
+def ivf_trained_topk(embeddings: DataFrame, probe_ids: list[int],
+                     k: int = 5, n_cells: int = 8, n_iter: int = 3,
+                     n_probe: int = 1) -> DataFrame:
+    """Self-contained IVF search: train the coarse quantizer, assign
+    every vector to its cell, then search each probe's ``n_probe``
+    nearest cells only → (qid, rank, vec_id, cos).
+
+    The candidate set shrinks ~|cells|/n_probe× versus brute force; on
+    a real deployment the assignment happens once at ingest and ``cell``
+    becomes the table's physical partition key, so the equi-join below
+    prunes at the scan.
+    """
+    spark = embeddings.sparkSession
+    cents = kmeans_fit(embeddings, n_cells, n_iter)
+    cdf = spark.createDataFrame(cents, "cell int, cent array<double>")
+    corpus = embeddings.join(assign_cells(embeddings, cdf), "vec_id")
+    probes = (
+        embeddings.where(F.col("vec_id").isin(probe_ids))
+        .join(
+            assign_cells(
+                embeddings.where(F.col("vec_id").isin(probe_ids)),
+                cdf, n_probe=n_probe,
+            ),
+            "vec_id",
+        )
+    )
+    sims = _pairwise_cosine(probes, corpus, join_on=["cell"])
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

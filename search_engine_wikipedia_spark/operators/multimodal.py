@@ -37,6 +37,10 @@ MEDIA_SCHEMA = (
 )
 FEATURE_SCHEMA = "doc_id long, media_type string, feature array<float>, n_bytes int"
 FEATURE_DIM = 8
+BYTE_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, entropy double, "
+    "mean_byte double, printable_ratio double"
+)
 
 
 def attach_media_metadata(pages: DataFrame) -> DataFrame:
@@ -56,6 +60,60 @@ def attach_media_metadata(pages: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _byte_feature_row(payload: bytes) -> tuple[int, float, float, float]:
+    """(n_bytes, shannon_entropy, mean_byte, printable_ratio) of one
+    payload — pure numpy over the byte histogram; entropy sums bins in
+    ascending byte order (matching the SQL oracle's grouped sum)."""
+    b = np.frombuffer(payload or b"", dtype=np.uint8)
+    n = b.size
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    counts = np.bincount(b, minlength=256).astype(np.float64)
+    probs = counts[counts > 0] / n
+    entropy = float(-(probs * np.log2(probs)).sum())
+    mean_byte = float(b.sum(dtype=np.float64) / n)
+    printable = float(((b >= 32) & (b < 127)).sum() / n)
+    return n, entropy, mean_byte, printable
+
+
+def byte_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """media → (doc_id, media_type, n_bytes, entropy, mean_byte,
+    printable_ratio): REAL, dependency-free per-payload features.
+
+    The codec-free half of multimodal feature extraction — byte
+    histogram statistics (Shannon entropy, mean byte value, printable
+    density) computed in an Arrow-batched numpy kernel.  Useful as-is
+    for corpus triage (compressed-vs-text detection, binary junk
+    filtering) and exactly mirrorable by a SQL oracle, unlike the
+    library-dependent image decode (``decode_image_batch``).  Same
+    partitioning/batching discipline as ``extract_features``: payloads
+    spread by doc_id, payload column dropped on output.
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                feats = [
+                    _byte_feature_row(bytes(p) if p is not None else b"")
+                    for p in chunk["payload"]
+                ]
+                yield pd.DataFrame({
+                    "doc_id": chunk["doc_id"].to_numpy(),
+                    "media_type": chunk["media_type"].to_numpy(),
+                    "n_bytes": np.array([f[0] for f in feats], dtype="int32"),
+                    "entropy": np.round([f[1] for f in feats], 6),
+                    "mean_byte": np.round([f[2] for f in feats], 6),
+                    "printable_ratio": np.round([f[3] for f in feats], 6),
+                })
+
+    return (
+        media.repartition("doc_id")
+        .select("doc_id", "media_type", "payload")
+        .mapInPandas(run, schema=BYTE_FEATURE_SCHEMA)
     )
 
 

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textproc import analyze_text, analyze_title
@@ -465,6 +465,94 @@ def search_batch(
     return (
         blended.withColumn("final_rank", F.row_number().over(w2))
         .drop("pr", "max_rel")
+    )
+
+
+def search_batch_relational(
+    index: SearchIndex,
+    queries: list[str],
+    limit: int = 10,
+    group: str = "AND",
+) -> DataFrame:
+    """BM25F top-k computed WITHOUT the WAND kernel or the codec: a
+    pure relational plan over the index's ``term_freqs`` /
+    ``field_stats`` tables — an independent referee for the block-max
+    engine path (same parse, same Whoosh scoring formula, same
+    tie-break), used by the ``wand_consistency`` driver query.
+
+    Semantics mirror the Scorer: each query token is an OR group over
+    its (text:stemmed, title:token) leaves; AND requires every group
+    matched; a doc's score sums every matched leaf.  Ranking uses
+    (raw score desc, doc asc) — the kernel's tie order; exact ties
+    have identical leaf sets so both paths agree on the break.
+    """
+    spark = index.spark
+    fan_rows = []
+    n_groups = {}
+    for qid, q in enumerate(queries):
+        tree, _ = parse_query(q, group=group, expand=False)
+        if tree is None:
+            n_groups[qid] = 0
+            continue
+        groups = tree.children if isinstance(tree, And) else [tree]
+        n_groups[qid] = len(groups) if group == "AND" else 1
+        for gi, g in enumerate(groups):
+            for t in tree_terms(g):
+                fan_rows.append((qid, gi, t.field, t.text, float(t.boost)))
+    fan = spark.createDataFrame(
+        fan_rows,
+        "query_id int, group_id int, field string, term string, boost double",
+    )
+    need = spark.createDataFrame(
+        [(qid, n) for qid, n in n_groups.items() if n > 0],
+        "query_id int, n_groups int",
+    )
+    tf = catalog.read_table(spark, index.index_dir, "term_freqs")
+    df_t = (
+        tf.join(F.broadcast(fan.select("field", "term").distinct()),
+                ["field", "term"])
+        .groupBy("field", "term").agg(F.count("*").alias("df"))
+    )
+    stats = index.stats
+    avg_map = spark.createDataFrame(
+        [(f, float(v)) for f, v in stats.avg_len.items()],
+        "field string, avgfl double",
+    )
+    k1, b = wand.K1, wand.B
+    leaf = (
+        tf.join(F.broadcast(fan), ["field", "term"])
+        .join(F.broadcast(df_t), ["field", "term"])
+        .join(F.broadcast(avg_map), "field")
+        .withColumn(
+            "idf",
+            F.log(F.lit(float(stats.n_docs)) / (F.col("df") + 1)) + F.lit(1.0),
+        )
+        .withColumn("w", F.col("tf") * F.col("boost"))
+        .withColumn(
+            "leaf_score",
+            F.col("idf") * F.col("w") * F.lit(k1 + 1.0)
+            / (F.col("w") + F.lit(k1)
+               * (F.lit(1.0 - b) + F.lit(b) * F.col("fl") / F.col("avgfl"))),
+        )
+    )
+    scored = (
+        leaf.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("leaf_score").alias("score"),
+            F.count_distinct("group_id").alias("g_matched"),
+        )
+        .join(F.broadcast(need), "query_id")
+    )
+    if group == "AND":
+        scored = scored.where(F.col("g_matched") == F.col("n_groups"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+        .select("query_id", "rank", "doc_id",
+                F.round("score", 6).alias("score"))
     )
 
 

@@ -50,6 +50,19 @@ def test_rank_identity_expansion(searcher):
         _assert_match(res, expected, q, "exp")
 
 
+def test_rank_identity_wsd_context_queries(searcher):
+    """Queries where WSD selects a NON-first sense from context (the
+    synonym set — and therefore the expanded result list — depends on
+    the Wu-Palmer argmax, not just fixture order)."""
+    s, oracle = searcher
+    for q in ["apple computer", "Steve Jobs", "Mars war god",
+              "Mean Average Precision"]:
+        expected = oracle.search(q, limit=10, exp=True, group="OR")
+        res = s.search(q, limit=10, exp=True, page_rank=False, group="OR",
+                       with_meta=False)
+        _assert_match(res, expected, q, "wsd")
+
+
 @pytest.mark.parametrize("weighting", ["TF_IDF", "FREQUENCY"])
 def test_rank_identity_other_models(searcher, weighting):
     s, oracle = searcher

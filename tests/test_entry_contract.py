@@ -74,11 +74,13 @@ def test_query_matches_oracle(name, spark, ddb):
     assert not mismatches, (name, mismatches[:5])
 
 
-def test_rows_only_entries_run(spark):
-    """wand_topk / multimodal_features: schema-stable, non-empty."""
-    mm = QUERIES["multimodal_features"](spark, SF_DIR)
-    rows = mm.limit(5).collect()
-    assert rows and rows[0]["n_bytes"] > 0
+def test_wand_consistency_all_agree(spark):
+    """The flagship WAND path vs its independent relational BM25F
+    referee: every (query, rank) row must agree on doc and score."""
+    rows = QUERIES["wand_consistency"](spark, SF_DIR).collect()
+    assert rows
+    bad = [r.asDict() for r in rows if not r["agree"]]
+    assert not bad, bad[:5]
 
 
 def test_all_queries_have_callables():
