@@ -260,15 +260,58 @@ def _documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _input_fingerprint(sf_dir: str) -> str:
+    """Cheap stat-based fingerprint of the input documents table
+    (file names + sizes + mtimes) — no data read."""
+    import glob
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        sorted(glob.glob(os.path.join(p, "**", "*"), recursive=True))
+        if os.path.isdir(p) else [p]
+    )
+    h = hashlib.md5()
+    for f in paths:
+        if os.path.isfile(f):
+            st = os.stat(f)
+            h.update(
+                f"{os.path.relpath(f, sf_dir)}:{st.st_size}:"
+                f"{int(st.st_mtime)};".encode()
+            )
+    return h.hexdigest()
+
+
 def _engine_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once, cached under /tmp) the full inverted index over the
-    sf_dir documents table; returns the index root."""
+    sf_dir documents table; returns the index root.
+
+    The cached tree records an INPUT fingerprint: if the testdata
+    changed (or a stale tree from different data exists), the index is
+    dropped and rebuilt instead of silently serving results built from
+    other data; the per-stage commit manifests still validate the
+    index's own outputs for resume.
+    """
+    import json
+    import shutil
+
     from search_engine_wikipedia_spark.operators.build import IndexBuilder
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = f"/tmp/sewiki_index_{tag}"
+    fp = _input_fingerprint(sf_dir)
+    fp_file = os.path.join(root, "_INPUT.json")
+    if os.path.exists(root):
+        recorded = None
+        if os.path.exists(fp_file):
+            with open(fp_file) as f:
+                recorded = json.load(f).get("fingerprint")
+        if recorded != fp:
+            shutil.rmtree(root)
     builder = IndexBuilder(spark, root, n_segments=8, shard_size=100_000)
     builder.build(_documents_as_pages(spark, sf_dir), resume=True)
+    with open(fp_file, "w") as f:
+        json.dump({"fingerprint": fp, "sf_dir": sf_dir}, f)
     return root
 
 

@@ -53,19 +53,12 @@ NS_NOT_VALID = {
     "2600": "Topic",
 }
 
-# Interwiki prefixes — the reference fetches ~775 prefixes from the
-# MediaWiki API once and pickles them (interwikiLink.py:12-51).  No
-# network here: a deterministic pinned subset covering the prefixes that
-# can actually appear in our synthetic corpus plus the common real ones.
-INTERWIKI_PREFIXES = frozenset({
-    "w", "wikt", "wiktionary", "wikipedia", "wiki", "commons", "meta",
-    "metawikipedia", "wikibooks", "wikidata", "wikinews", "wikiquote",
-    "wikisource", "wikispecies", "wikiversity", "wikivoyage", "mw",
-    "phabricator", "gerrit", "mediawikiwiki", "testwiki", "de", "fr", "it",
-    "es", "nl", "ja", "pl", "pt", "ru", "sv", "zh", "ar", "fi", "no", "cs",
-    "ko", "tr", "doi", "arxiv", "pmid", "rfc", "iarchive", "oeis",
-    "google", "imdb", "s", "b", "q", "n", "v", "m", "voy",
-})
+# Interwiki prefixes — the reference fetches the full MediaWiki
+# interwiki map once and pickles it (interwikiLink.py:12-51).  The
+# complete 772-prefix set is pinned as a checked-in fixture
+# (functions/interwiki.py) so unknown-prefix links can't leak into the
+# link graph and perturb PageRank on a real dump.
+from .interwiki import INTERWIKI_PREFIXES  # noqa: F401  (re-export)
 
 # ---------------------------------------------------------------------------
 # T1 — wikitext cleaner.  The exact ordered replacement list of

@@ -320,42 +320,154 @@ class WikiSearcher:
 
 
 # ---------------------------------------------------------------------------
-# Highlights (Q8) — display-only fragmenter
+# Highlights (Q8) — Whoosh-faithful fragmenter / scorer / formatter.
+#
+# Re-derivation of the public Whoosh 2.7.4 highlight pipeline invoked by
+# the reference as ``result.highlights("text", top=2)`` (searcher.py:115)
+# with the default ``Highlighter``: ContextFragmenter(maxchars=200,
+# surround=20), BasicFragmentScorer, HtmlFormatter(tagname="b",
+# between="..."), order=FIRST (fragments re-sorted by start position
+# after top-N selection), minscore=1.  The stored field text is
+# retokenized with the field's analyzer chain (A3 for "text": tokenize,
+# lowercase, stop/minsize filter, Porter stem) keeping character
+# offsets; a token "matches" when its analyzed text is one of the
+# query's stemmed terms for the field.
 # ---------------------------------------------------------------------------
-def make_highlight(clean_text: str, stemmed_terms: list[str],
-                   top: int = 2, context: int = 40) -> str:
-    """Top-``top`` fragments around stemmed-term hits, joined by '...'.
+HL_MAXCHARS = 200        # ContextFragmenter default
+HL_SURROUND = 20
+HL_CHARLIMIT = 2 ** 15   # whoosh DEFAULT_CHARLIMIT
+HL_MAXCLASSES = 5        # HtmlFormatter default
 
-    Simplified analogue of Whoosh ``result.highlights("text", top=2)``
-    (searcher.py:115): fragments are char windows around token matches,
-    ranked by distinct matched terms.  Display-only (not part of the
-    rank-identity surface).
+
+@dataclass
+class Fragment:
+    """A candidate snippet: char range + the analyzed tokens inside."""
+
+    startchar: int
+    endchar: int
+    tokens: list          # [(stemmed_text, start, end, matched)]
+
+    @property
+    def matches(self):
+        return [t for t in self.tokens if t[3]]
+
+    @property
+    def matched_terms(self):
+        return frozenset(t[0] for t in self.matches)
+
+
+def _analyze_with_chars(text: str, charlimit: int = HL_CHARLIMIT):
+    """A3 analyzer over ``text`` with char offsets (retokenize mode)."""
+    from ..functions.porter import stem as _stem
+    from ..functions.textproc import MIN_TOKEN_SIZE, STOP_WORDS, TOKEN_PATTERN
+
+    for m in TOKEN_PATTERN.finditer(text):
+        if charlimit and m.end() > charlimit:
+            return
+        tok = m.group(0).lower()
+        if len(tok) >= MIN_TOKEN_SIZE and tok not in STOP_WORDS:
+            yield _stem(tok), m.start(), m.end()
+
+
+def context_fragments(text: str, matched_terms: set,
+                      maxchars: int = HL_MAXCHARS,
+                      surround: int = HL_SURROUND) -> list[Fragment]:
+    """Whoosh ContextFragmenter.fragment_tokens: a sliding token window
+    keeps ≤``surround`` chars of *token* text before a hit; a hit opens
+    a countdown of ``surround`` (plus any unused before-context) chars
+    after it; the fragment closes when the countdown expires or the
+    window reaches ``maxchars``.  Lengths count analyzed-token chars
+    only (whitespace between tokens is free), exactly as Whoosh does.
     """
+    out: list[Fragment] = []
+    current: list = []
+    currentlen = 0
+    countdown = -1
+
+    def close():
+        frag_tokens = list(current)
+        start = max(0, frag_tokens[0][1] - surround)
+        end = min(len(text), frag_tokens[-1][2] + surround)
+        out.append(Fragment(start, end, [
+            (tt, ts, te, tt in matched_terms) for tt, ts, te in frag_tokens
+        ]))
+
+    for tt, ts, te in _analyze_with_chars(text):
+        if tt in matched_terms:
+            countdown = surround
+            # unused before-context rolls into the after-countdown
+            countdown += max(0, surround - currentlen)
+        current.append((tt, ts, te))
+        length = te - ts
+        currentlen += length
+        if countdown >= 0:
+            countdown -= length
+            if countdown < 0 or currentlen >= maxchars:
+                close()
+                current = []
+                currentlen = 0
+                countdown = -1
+        else:
+            while current and currentlen > surround:
+                old = current.pop(0)
+                currentlen -= old[2] - old[1]
+    if countdown >= 0 and current:
+        close()
+    return out
+
+
+def basic_fragment_score(frag: Fragment) -> float:
+    """Whoosh BasicFragmentScorer: Σ matched-token boosts (1.0 here),
+    multiplied by 100 × |distinct matched terms| to favor diversity."""
+    score = float(len(frag.matches))
+    score *= (len(frag.matched_terms) * 100) or 1
+    return score
+
+
+def html_format(text: str, frags: list[Fragment], tagname: str = "b",
+                between: str = "...") -> str:
+    """Whoosh HtmlFormatter: matched tokens wrapped as
+    ``<b class="match termN">orig</b>`` (N assigned per distinct
+    *original* token text, modulo 5), fragments joined by ``...``."""
+    seen: dict[str, int] = {}
+    parts = []
+    for f in frags:
+        index = f.startchar
+        buf = []
+        for _, ts, te, matched in f.tokens:
+            if not matched:
+                continue
+            orig = text[ts:te]
+            if orig in seen:
+                termnum = seen[orig]
+            else:
+                termnum = len(seen) % HL_MAXCLASSES
+                seen[orig] = termnum
+            buf.append(text[index:ts])
+            buf.append(
+                f'<{tagname} class="match term{termnum}">{orig}</{tagname}>'
+            )
+            index = te
+        buf.append(text[index:f.endchar])
+        parts.append("".join(buf))
+    return between.join(parts)
+
+
+def make_highlight(clean_text: str, stemmed_terms: list[str],
+                   top: int = 2, minscore: float = 1.0) -> str:
+    """``result.highlights("text", top=2)`` semantics end-to-end:
+    fragment → score → take top-``top`` with score ≥ ``minscore`` →
+    re-sort by position (order=FIRST) → HTML-format joined by '...'."""
     if not clean_text or not stemmed_terms:
         return ""
-    import re as _re
-
-    want = set(stemmed_terms)
-    frags = []
-    from ..functions.porter import stem as _stem
-
-    for m in _re.finditer(r"\w+(?:\.?\w+)*", clean_text):
-        tok = m.group(0).lower()
-        if len(tok) >= 2 and _stem(tok) in want:
-            lo = max(0, m.start() - context)
-            hi = min(len(clean_text), m.end() + context)
-            frags.append((lo, hi))
-        if len(frags) >= top * 4:
-            break
-    if not frags:
-        return ""
-    merged = []
-    for lo, hi in frags:
-        if merged and lo <= merged[-1][1]:
-            merged[-1] = (merged[-1][0], hi)
-        else:
-            merged.append((lo, hi))
-    return "...".join(clean_text[lo:hi] for lo, hi in merged[:top])
+    frags = context_fragments(clean_text, set(stemmed_terms))
+    scored = sorted(
+        ((basic_fragment_score(f), f) for f in frags),
+        key=lambda sf: (-sf[0], sf[1].startchar),
+    )[:top]
+    best = [f for s, f in scored if s >= minscore]
+    best.sort(key=lambda f: f.startchar)
+    return html_format(clean_text, best)
 
 
 # ---------------------------------------------------------------------------

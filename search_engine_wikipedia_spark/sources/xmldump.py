@@ -75,13 +75,18 @@ class _PageHandler(xml.sax.ContentHandler):
             if self.valid_id_page:               # S4
                 self.id_page += content
         elif self.current_tag == "text":
-            if content.startswith("#REDIRECT"):  # S3
-                self.valid_block = False
-            else:
-                self.text += content
+            # S3 is evaluated on the ACCUMULATED text at </text> (see
+            # endElement): expat may split a text node at buffer
+            # boundaries or entity references, so a per-chunk
+            # startswith() both misses a '#REDIRECT' split across the
+            # first two chunks and false-drops a page whose later chunk
+            # happens to start with it.
+            self.text += content
 
     def endElement(self, tag):
         self.current_tag = ""
+        if tag == "text" and self.text.startswith("#REDIRECT"):  # S3
+            self.valid_block = False
         if tag == "page" and self.valid_block and self.id_page:
             self.collect({
                 "title": self.title,
@@ -152,12 +157,19 @@ def read_dump(spark: SparkSession, fragments: list[str] | DataFrame,
 def subset_pages(pages: DataFrame, titles_to_select: list[str],
                  total_docs_noise: int = 450) -> DataFrame:
     """S5 corpus subsetter (``filterDump.py:14-122``): selected titles
-    plus the first N other pages as noise."""
+    plus the first N other pages (in dump = page-id order) as noise.
+
+    The noise pick is ordered before ``limit``: an unordered Spark
+    limit is nondeterministic across runs/partitionings, whereas the
+    reference subsetter takes the first N pages in dump order — sorting
+    on the numeric page id reproduces that deterministically.
+    """
     from pyspark.sql import functions as F
 
     selected = pages.where(F.col("title").isin(titles_to_select))
     noise = (
         pages.where(~F.col("title").isin(titles_to_select))
+        .orderBy(F.col("id_page").cast("long").asc_nulls_last(), "title")
         .limit(total_docs_noise)
     )
     return selected.unionByName(noise)

@@ -31,8 +31,15 @@ def ref_filter():
     pkg.__path__ = [str(REF.parent)]
     sys.modules["refxml"] = pkg
 
+    # the reference's ACTUAL pickled interwiki map (772 prefixes) — the
+    # repo fixture must agree with it, so the loaded reference code runs
+    # against its own data, not ours
+    import pickle
+
+    with open("/root/reference/files/interwiki.prefix", "rb") as fp:
+        ref_prefixes = set(pickle.load(fp))
     iw = types.ModuleType("refxml.interwikiLink")
-    iw.getPrefixSet = lambda path: set(textproc.INTERWIKI_PREFIXES)
+    iw.getPrefixSet = lambda path: set(ref_prefixes)
     sys.modules["refxml.interwikiLink"] = iw
 
     sax = types.ModuleType("refxml.saxReader")
@@ -62,6 +69,12 @@ def _adversarial_texts():
         "[[/subpage]] [[../sibling]] [[Category:Things]] ",
         "[[{{var}}]] [[Image:x]] [[Manual:y]] [[Extension:z]] ",
         "[[wikt:word]] [[Talk:Rome]] [[de:Rom]] [[:Escaped]] [[Odd:Name]] ",
+        # exotic interwiki prefixes far outside any common subset —
+        # parity requires the FULL 772-prefix map on both sides
+        "[[wookieepedia:Luke]] [[battlestarwiki:Ship]] [[zh-min-nan:X]] "
+        "[[uncyclopedia:Foo]] [[memoryalpha:Kirk]] [[oeis:A000045]] "
+        "[[bat-smg:Y]] [[ĉej:Z]] [[distributedproofreaders:Book]] "
+        "[[NotAPrefix:Kept]] ",
         "pipes | equal = colon : star * bracket [ ] brace { } slash / ",
         "multi\nline {{lang\nbroken}} text\nhttp://x\n ",
         "[[Trailing/]] [[Spaced link ]] [[A|b|c]] ",
@@ -91,6 +104,16 @@ def test_link_extractor_identity(ref_filter):
         theirs = ref_filter.getLinkAndCategory(text, title)
         assert ours["links"] == theirs["links"], (text, title)
         assert ours["categories"] == theirs["categories"], (text, title)
+
+
+def test_interwiki_fixture_matches_reference_data():
+    """The checked-in 772-prefix fixture equals the reference's pickled
+    MediaWiki interwiki map byte-for-byte."""
+    import pickle
+
+    with open("/root/reference/files/interwiki.prefix", "rb") as fp:
+        ref_prefixes = set(pickle.load(fp))
+    assert set(textproc.INTERWIKI_PREFIXES) == ref_prefixes
 
 
 def test_startfilter_identity(ref_filter):
