@@ -245,12 +245,89 @@ def analyze_text(text: str) -> list[str]:
     return [stem(t) for t in analyze_title(text)]
 
 
+# ---------------------------------------------------------------------------
+# A4 — AccentStemmingAnalyzer (reference analyzers.py:36-46):
+# StemmingAnalyzer | CharsetFilter(accent_map) — the accent fold runs
+# AFTER stemming.  whoosh.support.charset.accent_map folds Latin
+# accented letters to their base form; Unicode NFKD decomposition with
+# combining marks stripped reproduces that fold for the Latin range
+# (the sandbox has no whoosh to diff the full Sphinx charset table).
+# ---------------------------------------------------------------------------
+import unicodedata as _ud
+
+
+def fold_accents(token: str) -> str:
+    """'café' → 'cafe' (CharsetFilter(accent_map) analogue)."""
+    return "".join(
+        c for c in _ud.normalize("NFKD", token)
+        if not _ud.combining(c)
+    )
+
+
+def analyze_text_accent(text: str) -> list[str]:
+    """A4: tokenize, lowercase, stop/minsize filter, Porter stem, fold
+    accents — defined-but-unused in the reference schema (index.py:38
+    selects A3); selectable here via ``IndexBuilder``'s analyzer map."""
+    return [fold_accents(t) for t in analyze_text(text)]
+
+
+# ---------------------------------------------------------------------------
+# A5 — LemmatizingAnalyzer (reference analyzers.py:49-61 + the
+# LemmatizerFilter of analysis/filters.py: nltk WordNetLemmatizer, i.e.
+# morphy noun rules against the WordNet lexicon).  No WordNet in this
+# environment: a pinned irregular-noun table plus the morphy noun
+# suffix substitutions with conservative guards stands in for the
+# lexicon-membership check.
+# ---------------------------------------------------------------------------
+NOUN_EXCEPTIONS = {
+    "geese": "goose", "feet": "foot", "teeth": "tooth", "mice": "mouse",
+    "men": "man", "women": "woman", "children": "child", "oxen": "ox",
+    "lives": "life", "wives": "wife", "knives": "knife", "leaves": "leaf",
+    "wolves": "wolf", "calves": "calf", "shelves": "shelf",
+    "halves": "half", "selves": "self", "elves": "elf", "loaves": "loaf",
+    "cacti": "cactus", "fungi": "fungus", "nuclei": "nucleus",
+    "analyses": "analysis", "diagnoses": "diagnosis", "oases": "oasis",
+    "theses": "thesis", "crises": "crisis", "phenomena": "phenomenon",
+    "criteria": "criterion", "indices": "index", "matrices": "matrix",
+    "vertices": "vertex", "axes": "axis",
+}
+
+_ES_STEMS = ("ch", "sh", "ss", "x", "z")
+
+
+def lemmatize_noun(word: str) -> str:
+    """morphy-style noun lemmatization (WordNetLemmatizer stand-in)."""
+    if word in NOUN_EXCEPTIONS:
+        return NOUN_EXCEPTIONS[word]
+    if word.endswith("ies") and len(word) > 4:
+        return word[:-3] + "y"
+    if word.endswith("es") and len(word) > 3:
+        stem_part = word[:-2]
+        if stem_part.endswith(_ES_STEMS):
+            return stem_part
+    if (word.endswith("s") and len(word) > 3
+            and not word.endswith(("ss", "us", "is"))):
+        return word[:-1]
+    return word
+
+
+def analyze_text_lemma(text: str) -> list[str]:
+    """A5: tokenize, lowercase, stop/minsize filter, lemmatize."""
+    return [lemmatize_noun(t) for t in analyze_title(text)]
+
+
 def analyze_series(texts: pd.Series, field: str) -> pd.Series:
     """Vectorized analyzer dispatch for pandas UDFs."""
-    fn = analyze_text if field == "text" else analyze_title
+    fn = ANALYZERS.get(field, analyze_title)
     return pd.Series(
         [fn(t) if t is not None else [] for t in texts], index=texts.index
     )
 
 
-ANALYZERS = {"text": analyze_text, "title": analyze_title}
+ANALYZERS = {
+    "text": analyze_text,            # A3 (schema default, index.py:38)
+    "title": analyze_title,          # A2 (schema default, index.py:39)
+    "simple": tokenize_simple,       # A1
+    "text_accent": analyze_text_accent,   # A4
+    "text_lemma": analyze_text_lemma,     # A5
+}

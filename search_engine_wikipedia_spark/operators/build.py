@@ -158,15 +158,18 @@ def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None,
 # ---------------------------------------------------------------------------
 # Stage 2 — term frequencies (I1: the partial, map-side tf aggregation)
 # ---------------------------------------------------------------------------
-def term_freqs(docs: DataFrame, n_segments: int, n_docs: int) -> DataFrame:
+def term_freqs(docs: DataFrame, n_segments: int, n_docs: int,
+               text_analyzer=analyze_text,
+               title_analyzer=analyze_title) -> DataFrame:
     """docs → (term, field, doc_id, tf, fl, seg_id).
 
-    Tokenization (A2/A3) and the per-document tf count happen inside one
-    Arrow batch — the shuffle that follows carries one row per unique
-    (doc, term), not per token occurrence (map-side combine).
-    ``seg_id`` is the document's range bucket: doc ranges are contiguous
-    per segment, which later lets merged shards stay doc-sorted by
-    construction.
+    Tokenization (default A3/A2; any ``functions.textproc.ANALYZERS``
+    entry — A1/A4/A5 — can be swapped in per field) and the
+    per-document tf count happen inside one Arrow batch — the shuffle
+    that follows carries one row per unique (doc, term), not per token
+    occurrence (map-side combine).  ``seg_id`` is the document's range
+    bucket: doc ranges are contiguous per segment, which later lets
+    merged shards stay doc-sorted by construction.
     """
     seg_of = F.least(
         F.lit(n_segments - 1),
@@ -177,8 +180,8 @@ def term_freqs(docs: DataFrame, n_segments: int, n_docs: int) -> DataFrame:
         for pdf in batches:
             frames = []
             for field, col, analyzer in (
-                (TEXT_FIELD, "clean_text", analyze_text),
-                (TITLE_FIELD, "title", analyze_title),
+                (TEXT_FIELD, "clean_text", text_analyzer),
+                (TITLE_FIELD, "title", title_analyzer),
             ):
                 toks = pdf[col].map(lambda s: analyzer(s) if s is not None else [])
                 fl = toks.map(len).astype("int32")
@@ -475,13 +478,21 @@ class IndexBuilder:
         shard_size: int = 1_000_000,
         segment_batches: int = 1,
         n_term_buckets: int = N_TERM_BUCKETS,
+        text_analyzer: str = "text",
+        title_analyzer: str = "title",
     ):
+        from ..functions.textproc import ANALYZERS
+
         self.spark = spark
         self.index_dir = index_dir
         self.n_segments = n_segments
         self.shard_size = shard_size
         self.segment_batches = segment_batches
         self.n_term_buckets = n_term_buckets
+        # schema analyzer selection (reference index.py:38-39 defaults;
+        # A1/A4/A5 from functions.textproc.ANALYZERS also accepted)
+        self.text_analyzer = ANALYZERS[text_analyzer]
+        self.title_analyzer = ANALYZERS[title_analyzer]
         self.metrics: dict[str, float] = {}
 
     # -- individual stages ---------------------------------------------------
@@ -523,7 +534,9 @@ class IndexBuilder:
 
         if not (resume and catalog.is_complete(root, "term_freqs")):
             def _tf():
-                tf = term_freqs(docs, self.n_segments, n_docs)
+                tf = term_freqs(docs, self.n_segments, n_docs,
+                                text_analyzer=self.text_analyzer,
+                                title_analyzer=self.title_analyzer)
                 # NOT partitionBy("seg_id"): the dynamic-partition writer
                 # external-sorts every task's rows by the partition key,
                 # and that sort's spill collapses under task concurrency

@@ -146,12 +146,49 @@ class PostingList:
             )
         return self._cache["all"]
 
+    def prepare(self, strip_blobs: bool = False) -> "PostingList":
+        """Eagerly decode + memoize everything the serving kernel needs.
+
+        The broadcast-serving plan (``search_many_broadcast``) calls
+        this ON THE DRIVER before broadcasting: workers then unpickle
+        ready numpy arrays instead of each VB-decoding the hot set —
+        the per-worker warmup that capped query-batch scaling
+        efficiency.  ``strip_blobs`` additionally drops the encoded
+        blobs from the pickled payload (the decoded arrays fully serve
+        ``lookup``/``decode_selected_blocks`` via their fast paths),
+        roughly halving broadcast bytes.
+        """
+        self.block_meta()
+        self.decode_all()
+        if "shard_off" not in self._cache:
+            dfs = np.array([int(r["df"]) for r in self.shards],
+                           dtype=np.int64)
+            self._cache["shard_off"] = np.concatenate(
+                [[0], np.cumsum(dfs)])
+        if strip_blobs:
+            self.shards = [
+                {"shard_id": r["shard_id"], "df": r["df"],
+                 "term_df": r["term_df"]}
+                for r in self.shards
+            ]
+        return self
+
     def decode_selected_blocks(self, global_block_ids: np.ndarray):
         """Decode selected (global) blocks → (docs, tfs, fls), doc-sorted."""
         last, _, _, shard_ix, blk_ix = self.block_meta()
         if global_block_ids.size == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()
+        if "all" in self._cache and "shard_off" in self._cache:
+            # fast path: slice the pre-decoded concatenation
+            d, t, f = self._cache["all"]
+            off = self._cache["shard_off"]
+            si = shard_ix[global_block_ids]
+            lo = off[si] + blk_ix[global_block_ids] * codec.BLOCK_SIZE
+            hi = np.minimum(off[si + 1], lo + codec.BLOCK_SIZE)
+            idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi)])
+            return d[idx], t[idx], f[idx]
         parts_d, parts_t, parts_f = [], [], []
         for si in np.unique(shard_ix[global_block_ids]):
             sel = global_block_ids[shard_ix[global_block_ids] == si]
@@ -180,15 +217,19 @@ class PostingList:
 
     def lookup(self, docs: np.ndarray):
         """(tf, fl, present_mask) of this list at the given sorted docs,
-        decoding only the blocks that can contain them."""
+        decoding only the blocks that can contain them (or probing the
+        pre-decoded arrays directly when ``prepare()`` ran)."""
         n = docs.size
         tf = np.zeros(n, dtype=np.int64)
         fl = np.ones(n, dtype=np.int64)
         present = np.zeros(n, dtype=bool)
         if n == 0 or self.n_postings == 0:
             return tf, fl, present
-        blocks = self.blocks_for_docs(docs)
-        d, t, f = self.decode_selected_blocks(blocks)
+        if "all" in self._cache:
+            d, t, f = self._cache["all"]
+        else:
+            blocks = self.blocks_for_docs(docs)
+            d, t, f = self.decode_selected_blocks(blocks)
         if d.size == 0:
             return tf, fl, present
         pos = np.searchsorted(d, docs)

@@ -687,14 +687,28 @@ def search_many_broadcast(
     rank-identical.
     """
     spark = index.spark
-    trees = {}
+    # parse each DISTINCT query text once (serving workloads repeat
+    # queries; re-parsing per occurrence is pure driver-side constant
+    # cost inside the timed region)
+    specs: dict[str, tuple] = {}
     keys = set()
-    for qid, q in enumerate(queries):
+    for q in queries:
+        if q in specs:
+            continue
         tree, _ = parse_query(q, group=group, expand=False)
-        trees[qid] = (q, _tree_spec(tree))
+        specs[q] = _tree_spec(tree)
         for t in tree_terms(tree) if tree is not None else []:
             keys.add((t.field, t.text))
+    trees = {qid: (q, specs[q]) for qid, q in enumerate(queries)}
     plists = index.fetch_postings(sorted(keys))  # ONE pruned scan
+    # Pre-decode ONCE on the driver so every executor worker unpickles
+    # ready numpy arrays instead of re-running the VB decode per
+    # process (and so per-query lookups skip block decoding entirely).
+    # Blobs are kept when the index term cache shares these objects
+    # (strip only private copies).
+    for pl in plists.values():
+        if pl is not None:
+            pl.prepare()
     b_plists = spark.sparkContext.broadcast(plists)
     b_trees = spark.sparkContext.broadcast(trees)
     stats = index.stats

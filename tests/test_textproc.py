@@ -211,3 +211,57 @@ def test_multifield_example_from_reference():
     # searcher.py:40-41 comment: 'fortified' → text:fortifi OR title:fortified
     assert textproc.analyze_text("fortified") == ["fortifi"]
     assert textproc.analyze_title("fortified") == ["fortified"]
+
+
+# ---------------------------------------------------------------------------
+# A4 / A5 analyzers
+# ---------------------------------------------------------------------------
+def test_accent_stemming_analyzer():
+    # A4 = A3 then accent fold (CharsetFilter runs AFTER StemFilter)
+    assert textproc.analyze_text_accent("Café naïve résumé") == [
+        "cafe", "naiv", "resume"]
+    # identical to A3 on plain ASCII
+    s = "The running foxes jumped"
+    assert textproc.analyze_text_accent(s) == textproc.analyze_text(s)
+
+
+def test_lemmatizing_analyzer():
+    # A5 = tokenize, lowercase, stop/minsize, noun lemmatize (no stem)
+    assert textproc.analyze_text_lemma("the geese and wolves ran") == [
+        "goose", "wolf", "ran"]
+    assert textproc.analyze_text_lemma("boxes churches books") == [
+        "box", "church", "book"]
+    assert textproc.lemmatize_noun("cities") == "city"
+    assert textproc.lemmatize_noun("bus") == "bus"       # -us guard
+    assert textproc.lemmatize_noun("glass") == "glass"   # -ss guard
+    assert textproc.lemmatize_noun("analysis") == "analysis"  # -is guard
+    assert textproc.lemmatize_noun("criteria") == "criterion"
+
+
+def test_analyzer_registry_complete():
+    assert set(textproc.ANALYZERS) == {
+        "text", "title", "simple", "text_accent", "text_lemma"}
+
+
+def test_build_with_alternate_analyzer(spark, tmp_path):
+    """IndexBuilder accepts any registry analyzer (A4 here): accented
+    terms land folded in the index vocabulary."""
+    import pandas as pd
+
+    from search_engine_wikipedia_spark import schemas
+    from search_engine_wikipedia_spark.operators.build import IndexBuilder
+    from search_engine_wikipedia_spark.sources import catalog
+
+    pages = spark.createDataFrame(pd.DataFrame([
+        {"url": "https://x/Caf%C3%A9", "warc_ts": None, "html": None,
+         "text": "Café culture thrives in cafés", "lang": "en"},
+    ]), schema=schemas.PAGES)
+    root = str(tmp_path / "idx_a4")
+    IndexBuilder(spark, root, n_segments=1, shard_size=100,
+                 text_analyzer="text_accent").build(pages, resume=False)
+    terms = {
+        r["term"] for r in
+        catalog.read_table(spark, root, "postings")
+        .where("field = 'text'").select("term").collect()
+    }
+    assert "cafe" in terms and "café" not in terms
