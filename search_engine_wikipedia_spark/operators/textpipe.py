@@ -360,8 +360,17 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def shingle_array(n: int = 3, col: str = "text") -> Column:
-    """array<string> of word-``n``-gram shingles (with duplicates)."""
+    """array<string> of word-``n``-gram shingles (with duplicates).
+
+    NOTE: references its token array 5×; use ``_doc_shingles`` inside
+    operators so the tokenizer regexp is materialized ONCE per row
+    (Catalyst inlines multi-referenced aliases only when cheap, so the
+    two-projection form keeps one regexp evaluation)."""
     arr = raw_token_array(F.col(col))
+    return _shingles_of(arr, n)
+
+
+def _shingles_of(arr: Column, n: int) -> Column:
     return F.when(
         F.size(arr) >= n,
         F.transform(
@@ -373,11 +382,23 @@ def shingle_array(n: int = 3, col: str = "text") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh array<string>) with the tokenizer regexp evaluated
+    once per row (its alias is expensive ⇒ CollapseProject keeps the
+    projection boundary)."""
+    toks = _spread(documents).select(
+        "doc_id", raw_token_array(F.col("text")).alias("toks")
+    )
+    return toks.select(
+        "doc_id", _shingles_of(F.col("toks"), n).alias("sh")
+    )
+
+
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word-``n``-gram shingles."""
     return (
-        _spread(documents)
-        .select("doc_id", F.explode(shingle_array(n)).alias("shingle"))
+        _doc_shingles(documents, n)
+        .select("doc_id", F.explode("sh").alias("shingle"))
         .distinct()
     )
 
@@ -400,16 +421,26 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
     too.  Docs with no shingles emit no rows (array_min(∅) = null,
     filtered), matching the aggregate formulation and the SQL oracle.
     """
-    base = _spread(documents).select(
-        "doc_id", shingle_array(shingle_n).alias("sh")
-    )
-    def seed_min(seed: int) -> Column:
-        prefix = F.lit(f"{seed}:")
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(prefix, s)))
-        )
+    base = _doc_shingles(documents, shingle_n)
 
-    mins = F.array(*[seed_min(seed) for seed in range(n_hashes)])
+    def hashes_of(s: Column) -> Column:
+        return F.array(*[
+            F.md5(F.concat(F.lit(f"{seed}:"), s))
+            for seed in range(n_hashes)
+        ])
+
+    # ONE fold over the shingle array with a 16-slot accumulator
+    # (least() ignores nulls, so the all-null init acts as +inf and an
+    # empty array stays all-null → filtered).  A single reference to
+    # ``sh`` keeps Catalyst from inlining the shingle construction into
+    # 16 sibling expressions.
+    mins = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit(None).cast("string"), n_hashes),
+        lambda acc, s: F.zip_with(
+            acc, hashes_of(s), lambda a, h: F.least(a, h)
+        ),
+    )
     return (
         base.select("doc_id", F.posexplode(mins).alias("seed", "mh"))
         .where(F.col("mh").isNotNull())
@@ -424,6 +455,13 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4
     is a candidate iff some band's concatenated signature matches.  The
     join key is ``(band, md5(band signature))`` — high-cardinality, so
     the self-join is shuffle-friendly at scale.
+
+    The band table is persisted across the self-join: Catalyst does not
+    reuse the exchange between the two re-aliased sides of this
+    generator-bearing self-join plan, so without the persist the whole
+    upstream signature pipeline would run TWICE.  Bands are 4 short
+    rows per doc; a 100 TB deployment lands them as a table (the LSH
+    "index") before pairing, which this persist stands in for.
     """
     bands = (
         signatures
@@ -440,17 +478,23 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4
                 )
             ).alias("band_key")
         )
-    )
+    ).persist()
     right = bands.select(
         F.col("doc_id").alias("b"), "band", "band_key"
     )
-    return (
+    pairs = (
         bands.select(F.col("doc_id").alias("a"), "band", "band_key")
         .join(right, ["band", "band_key"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    # materialize the (small) pair set eagerly so the band table can be
+    # released immediately — a lingering persist would evict other
+    # caches for the rest of the session
+    out = pairs.localCheckpoint(eager=True)
+    bands.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
@@ -471,7 +515,12 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
     docs sets a cap (e.g. 1000) or routes to ``lsh_candidate_pairs``,
     which is bucketed by construction.
     """
-    sh = shingles(documents, shingle_n)
+    # persisted: three consumers (both self-join sides + set sizes)
+    # would otherwise each recompute the tokenize→shingle→distinct
+    # pipeline — Catalyst does not reuse the exchange across the
+    # re-aliased sides of the self-join.  At 100 TB the shingle set is
+    # landed as a table before pairing; the persist stands in for that.
+    sh = shingles(documents, shingle_n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
@@ -490,7 +539,7 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count("*").alias("n_inter"))
     )
-    return (
+    topk = (
         inter
         .join(sizes.select(F.col("doc_id").alias("a"),
                            F.col("n_sh").alias("na")), "a")
@@ -507,6 +556,11 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
         .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+    # eager top-k materialization, then release the shingle table (see
+    # the persist note above — a lingering cache evicts others)
+    out = topk.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash32(documents: DataFrame) -> DataFrame:

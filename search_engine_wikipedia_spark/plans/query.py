@@ -121,12 +121,24 @@ class IndexStats:
 
 
 class SearchIndex:
-    """Open a built index (reference ``openOrBuild`` read path)."""
+    """Open a built index (reference ``openOrBuild`` read path).
+
+    ``max_postings_per_term`` guards the driver-side posting fetch: at
+    web scale a head term's blobs are GBs, and collecting them into the
+    driver (the interactive/serving cache path) is a driver-OOM hazard.
+    With a cap set, a cheap column-pruned pre-scan reads only
+    ``term_df`` (the blob columns never leave parquet) and a term over
+    the cap raises with a pointer to the distributed ``search_batch``
+    plan, which never collects postings.  Default None = uncapped (the
+    local/test regime).
+    """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache_terms: bool = True):
+                 cache_terms: bool = True,
+                 max_postings_per_term: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
+        self.max_postings_per_term = max_postings_per_term
         self.postings = catalog.read_table(spark, index_dir, "postings")
         fs = catalog.read_table(spark, index_dir, "field_stats").collect()
         n_docs = int(fs[0]["doc_count"])
@@ -177,6 +189,23 @@ class SearchIndex:
                     .distinct().collect()
                 )
                 cond = F.col("tbucket").isin([r["b"] for r in buckets]) & cond
+            if self.max_postings_per_term is not None:
+                # column-pruned pre-check: reads term_df only, no blobs
+                heavy = (
+                    self.postings.where(cond)
+                    .select("field", "term", "term_df").distinct()
+                    .where(F.col("term_df") > self.max_postings_per_term)
+                    .collect()
+                )
+                if heavy:
+                    worst = max(heavy, key=lambda r: r["term_df"])
+                    raise ValueError(
+                        f"term {worst['field']}:{worst['term']!r} has "
+                        f"{worst['term_df']} postings > cap "
+                        f"{self.max_postings_per_term}; route this query "
+                        "through the distributed search_batch plan instead "
+                        "of the driver posting cache"
+                    )
             rows = self.postings.where(cond).select(*POSTING_COLS).collect()
             grouped: dict = {}
             for r in rows:

@@ -198,3 +198,16 @@ def test_search_many_broadcast_rank_identical(spark, built_index):
     kb = sorted((r["query_id"], r["rank"], r["doc_id"],
                  round(r["score"], 9)) for r in b)
     assert ka == kb
+
+
+def test_fetch_postings_size_guard(spark, built_index):
+    """A capped SearchIndex refuses to collect a head term's postings
+    into the driver and points at the distributed plan."""
+    from search_engine_wikipedia_spark.plans.query import SearchIndex
+
+    root, _ = built_index
+    idx = SearchIndex(spark, root, max_postings_per_term=1)
+    with pytest.raises(ValueError, match="search_batch"):
+        idx.fetch_postings([("text", "roman")])
+    # uncapped default still serves
+    assert SearchIndex(spark, root).fetch_postings([("text", "roman")])
