@@ -328,6 +328,70 @@ def _wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation (the batch twin of the
+    streaming plan in streaming/events.py — same transform)."""
+    from search_engine_wikipedia_spark.streaming import events as ev
+
+    out = ev.windowed_counts(_events(spark, sf_dir), "1 hour")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        F.date_format("window_start", fmt).alias("window_start"),
+        F.date_format("window_end", fmt).alias("window_end"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def _events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (gap 30 min; end = last event + gap)."""
+    from search_engine_wikipedia_spark.streaming import events as ev
+
+    out = ev.sessionize(_events(spark, sf_dir), "30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events", "sum_value",
+    )
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+EVENTS_SESSIONIZED_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _wand_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Internal cross-check for the flagship WAND path: the block-max
     kernel's top-10 (per ENGINE_QUERIES, AND group) joined against an
@@ -468,6 +532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: tp.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: tp.token_counts(_docs(s, d)),
         "doc_fingerprints": lambda s, d: tp.doc_fingerprints(_docs(s, d)),
+        # event stream (batch twins of the streaming plans)
+        "events_windowed": _events_windowed,
+        "events_sessionized": _events_sessionized,
         # similarity search
         "embedding_norms": lambda s, d: ann.l2_norms(_emb(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(
@@ -693,6 +760,8 @@ SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 5""",
         "kmeans_centroids": _kmeans_centroids_sql(),
         "ann_ivf_trained": _ivf_trained_sql(5),
         "multimodal_features": MULTIMODAL_SQL,
+        "events_windowed": EVENTS_WINDOWED_SQL,
+        "events_sessionized": EVENTS_SESSIONIZED_SQL,
         # wand_topk: rows-only (WAND + Porter stemming are not
         # ANSI-SQL-expressible); cross-checked by wand_consistency.
     }
