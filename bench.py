@@ -75,6 +75,23 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     assert len(res) > 0
     queries_per_sec = round(30 / timings["wand_batch30"], 2)
 
+    # single-query latency (interactive driver path, warm posting cache)
+    from search_engine_wikipedia_spark.plans.query import WikiSearcher
+
+    searcher = WikiSearcher(idx)
+    for q in queries30:  # warm the per-term posting cache
+        searcher.search(q, limit=10, exp=False, page_rank=False,
+                        with_meta=False)
+    lat = []
+    for q in queries30 * 3:
+        t0 = time.perf_counter()
+        searcher.search(q, limit=10, exp=False, page_rank=False,
+                        with_meta=False)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    latency_p50 = round(lat[len(lat) // 2], 2)
+    latency_p95 = round(lat[int(len(lat) * 0.95)], 2)
+
     # --- 3. pipeline operators over the same table -----------------------
     Q = E.queries()
     for name in (
@@ -99,6 +116,8 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
         "cpus": cpus,
         "docs_per_sec": docs_per_sec,
         "queries_per_sec": queries_per_sec,
+        "latency_ms_p50": latency_p50,
+        "latency_ms_p95": latency_p95,
     }
     print(json.dumps(result), file=out, flush=True)
     spark.stop()

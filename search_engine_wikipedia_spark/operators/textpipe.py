@@ -172,7 +172,13 @@ def _tf_lens_stats(documents: DataFrame):
 
 def bm25_score_all(documents: DataFrame, terms: list[str],
                    match_all: bool = True) -> DataFrame:
-    """(doc_id, score) for every matching doc, unrounded.
+    """(doc_id, score) for every matching doc, unrounded."""
+    return _bm25_score_all(documents, terms, match_all)[0]
+
+
+def _bm25_score_all(documents: DataFrame, terms: list[str],
+                    match_all: bool = True):
+    """→ (scored DataFrame, the cached tf it holds), unrounded.
 
     Whoosh BM25: ``idf = ln(N/(df+1)) + 1``; per-term
     ``idf·tf·(k1+1)/(tf + k1·(1−b + b·fl/avgfl))`` summed over matched
@@ -212,18 +218,26 @@ def bm25_score_all(documents: DataFrame, terms: list[str],
     )
     if match_all:
         scored = scored.where(F.col("n_matched") == len(terms))
-    return scored.select("doc_id", "score")
+    return scored.select("doc_id", "score"), tf
 
 
 def bm25_topk(documents: DataFrame, terms: list[str], k: int = 10,
               match_all: bool = True) -> DataFrame:
-    """Top-k by (round(score,6) desc, doc_id asc) — deterministic."""
-    return (
-        bm25_score_all(documents, terms, match_all)
+    """Top-k by (round(score,6) desc, doc_id asc) — deterministic.
+
+    Eagerly materializes the k-row result and releases the shared tf
+    cache (`_tf_lens_stats`) so repeated calls in one session don't
+    accumulate cached tokenize tables."""
+    scored, tf = _bm25_score_all(documents, terms, match_all)
+    topk = (
+        scored
         .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    out = topk.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 def batch_topk(documents: DataFrame, queries: dict[int, list[str]],
@@ -264,11 +278,15 @@ def batch_topk(documents: DataFrame, queries: dict[int, list[str]],
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+    # k·|Q| rows — materialize eagerly and release the shared tf cache
+    out = topk.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

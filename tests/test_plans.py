@@ -1,0 +1,112 @@
+"""Physical-plan regression guards: the properties that make these
+operators survive a 100× scale-up (filter pushdown, partition pruning,
+broadcast joins, narrow-map shapes) asserted against the optimizer
+output, so a refactor can't silently reintroduce a full scan or an
+extra shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_wikipedia_spark.operators import textpipe as tp
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_posting_scan_pushes_term_and_partition_filters(spark, built_index):
+    """A query's posting fetch must reach the parquet reader as pushed
+    term/field filters AND prune to the term's tbucket partitions."""
+    from search_engine_wikipedia_spark.plans.query import SearchIndex
+
+    root, _ = built_index
+    idx = SearchIndex(spark, root)
+    bucket = (
+        spark.createDataFrame([("roman",)], "term string")
+        .select(F.pmod(F.xxhash64("term"),
+                       F.lit(idx.n_term_buckets)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    scan = idx.postings.where(
+        (F.col("tbucket") == bucket)
+        & F.col("term").isin(["roman"]) & (F.col("field") == "text")
+    ).select("term", "doc_ids")
+    p = plan_of(scan)
+    assert "PushedFilters" in p and "term" in p.split("PushedFilters")[1][:200]
+    assert "tbucket" in p.split("PartitionFilters")[1][:120]
+
+
+def test_docs_lang_filter_pushed_to_scan(spark):
+    """The S2-analogue language filter must reach the parquet scan,
+    ahead of the pandas UDFs."""
+    import __spark_entry__ as E
+    from search_engine_wikipedia_spark.operators.build import docs_from_pages
+
+    pages = E._documents_as_pages(spark, SF_DIR)
+    p = plan_of(docs_from_pages(pages))
+    pushed = p.split("PushedFilters")[1][:200]
+    assert "lang" in pushed, pushed
+
+
+def test_narrow_ops_have_no_shuffle(docs):
+    """Per-doc text analysis is a pure map: any Exchange in these plans
+    is a regression."""
+    for op in (tp.quality_scores, tp.lang_id, tp.token_counts,
+               tp.doc_fingerprints):
+        p = plan_of(op(docs))
+        assert "Exchange" not in p, (op.__name__, p[:500])
+
+
+def test_minhash_is_narrow(docs):
+    """MinHash = zero wide shuffles (at most the local-scale round-robin
+    spread, never a hash partitioning)."""
+    p = plan_of(tp.minhash_signatures(docs))
+    assert "hashpartitioning" not in p, p[:800]
+
+
+def test_simhash_two_aggregation_exchanges(docs):
+    """SimHash = tokens_tf's groupBy(doc_id, term) plus ONE
+    groupBy(doc_id) carrying the 32 bitwise partial sums — a third
+    hash exchange (the old 32-row explode plan had per-bit shuffles)
+    means the bitwise rewrite regressed."""
+    import re
+
+    p = plan_of(tp.simhash32(docs))
+    doc_only = re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", p)
+    assert len(doc_only) == 1, doc_only
+    assert len(re.findall(r"hashpartitioning\(", p)) == 2, p[:800]
+
+
+def test_bm25_broadcasts_small_sides(docs):
+    """Query terms / per-term df / global stats join the tf table via
+    broadcast — a sort-merge join on those tiny sides would shuffle the
+    whole tf table repeatedly."""
+    scored, tf = tp._bm25_score_all(docs, ["spark", "join"], True)
+    p = plan_of(scored)
+    tf.unpersist()
+    assert p.count("BroadcastExchange") >= 3, p.count("BroadcastExchange")
+    assert "SortMergeJoin" not in p
+
+
+def test_column_pruning_reaches_scan(docs):
+    """A two-column projection must not read the text column."""
+    p = plan_of(docs.select("doc_id", "lang"))
+    rs = p.split("ReadSchema")[1][:200]
+    assert "text" not in rs, rs
+
+
+def test_tokenize_is_jvm_side_with_map_side_combine(docs):
+    """The tokenize→explode→agg path is pure JVM (no Python eval
+    nodes) and aggregates map-side before the exchange (partial +
+    final HashAggregate around one hash exchange)."""
+    p = plan_of(tp.tokens_tf(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p and p.count("HashAggregate") == 2
+    assert p.count("hashpartitioning(") == 1
