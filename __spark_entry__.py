@@ -197,6 +197,23 @@ def _kmeans_centroids_sql() -> str:
     )
 
 
+def _neardup_sql(threshold: float = 0.4) -> str:
+    rng = f"range(1, {KM_DIM + 1})"
+    return f"""
+WITH {_kmeans_ctes()},
+x AS (SELECT a.vec_id, a.cell, e.emb FROM af a JOIN e USING (vec_id)),
+p AS (
+  SELECT xa.vec_id AS a, xb.vec_id AS b,
+         round(list_sum(list_transform({rng}, j -> xa.emb[j]*xb.emb[j]))
+               / sqrt(list_sum(list_transform({rng}, j -> xa.emb[j]*xa.emb[j]))
+                    * list_sum(list_transform({rng}, j -> xb.emb[j]*xb.emb[j]))),
+               6) AS cos
+  FROM x xa JOIN x xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id
+)
+SELECT a, b, cos FROM p WHERE cos >= {threshold}
+"""
+
+
 def _ivf_trained_sql(k: int = 5) -> str:
     rng = f"range(1, {KM_DIM + 1})"
     probe_sql = ", ".join(str(p) for p in PROBE_IDS)
@@ -542,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: ann.ivf_topk(_emb(s, d), PROBE_IDS, k=5),
         "kmeans_centroids": lambda s, d: ann.kmeans_centroids(
             _emb(s, d), k=8, n_iter=3),
+        "embedding_neardup_pairs": lambda s, d: ann.neardup_pairs(
+            _emb(s, d), threshold=0.4, n_cells=8, n_iter=3),
         "ann_ivf_trained": lambda s, d: ann.ivf_trained_topk(
             _emb(s, d), PROBE_IDS, k=5, n_cells=8, n_iter=3),
         # full engine (WAND kernel; rows-only) + its relational referee
@@ -758,6 +777,7 @@ r AS (SELECT qid, vec_id, cos,
                   AS INTEGER) AS rank FROM c)
 SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 5""",
         "kmeans_centroids": _kmeans_centroids_sql(),
+        "embedding_neardup_pairs": _neardup_sql(0.4),
         "ann_ivf_trained": _ivf_trained_sql(5),
         "multimodal_features": MULTIMODAL_SQL,
         "events_windowed": EVENTS_WINDOWED_SQL,

@@ -207,6 +207,50 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8,
     )
 
 
+def neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                  n_cells: int = 8, n_iter: int = 3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, quantizer-blocked:
+    (a, b, cos) for same-cell pairs with cos ≥ ``threshold``.
+
+    The dedup-family member for embedding columns: instead of the
+    O(n²) all-pairs join, vectors are blocked by their trained k-means
+    cell and only same-cell pairs are compared — O(Σ|cell|²).  Blocking
+    trades recall (a cross-cell near-dup is missed; production raises
+    recall with multi-assignment, cf. ``assign_cells(n_probe>1)``) for
+    a join that scales; the SQL oracle mirrors the blocking exactly.
+    The assignment table is persisted across the self-join (Catalyst
+    would otherwise run the quantizer assignment twice) and released
+    after the small pair set is materialized.
+    """
+    spark = embeddings.sparkSession
+    cents = kmeans_fit(embeddings, n_cells, n_iter)
+    cdf = spark.createDataFrame(cents, "cell int, cent array<double>")
+    e = (
+        embeddings
+        .select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+        .join(assign_cells(embeddings, cdf), "vec_id")
+    ).persist()
+    left = e.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"),
+                    "cell")
+    right = e.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"),
+                     "cell")
+    ea, eb = F.col("ea"), F.col("eb")
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(
+                _dot(ea, eb) / F.sqrt(_dot(ea, ea) * _dot(eb, eb)), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    out = pairs.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
 def ivf_trained_topk(embeddings: DataFrame, probe_ids: list[int],
                      k: int = 5, n_cells: int = 8, n_iter: int = 3,
                      n_probe: int = 1) -> DataFrame:

@@ -403,9 +403,24 @@ class Scorer:
         d, _, _ = t.plist.decode_selected_blocks(keep)
         return d
 
+    # -- result-count estimate (Whoosh estimated_length) -------------------
+    def estimate_size(self, node) -> int:
+        """Whoosh ``Query.estimate_size``: Term → df, And → min of
+        children, Or → sum of children.  This is the value the
+        reference surfaces as ``results.estimated_length()``
+        (searcher.py:106) — the optimized top-k search skips blocks, so
+        Whoosh reports the query's df-based estimate, not an exact
+        matched count."""
+        if isinstance(node, Term):
+            return node.plist.term_df if node.plist is not None else 0
+        if isinstance(node, And):
+            return min(
+                (self.estimate_size(c) for c in node.children), default=0)
+        return sum(self.estimate_size(c) for c in node.children)
+
     # -- top-k --------------------------------------------------------------
     def topk(self, node, k: int):
-        """Exact top-k: (doc_ids, scores, n_matched_lower_bound).
+        """Exact top-k: (doc_ids, scores, estimated_length).
 
         Root And → skip-intersection then score.
         Root Or → MaxScore seeding with block-max pruning.
@@ -414,7 +429,7 @@ class Scorer:
             cand = self._seed_docs(node)
             m, s = self.score_at(node, cand)
             cand, s = cand[m], s[m]
-            return self._take(cand, s, k) + (int(cand.size),)
+            return self._take(cand, s, k) + (self.estimate_size(node),)
 
         # Root Or
         children = list(node.children)
@@ -427,7 +442,6 @@ class Scorer:
         scored_docs = np.empty(0, dtype=np.int64)
         scored_vals = np.empty(0, dtype=np.float64)
         theta = -np.inf
-        n_matched = 0
         for i, child in enumerate(children):
             # remaining children (incl. this one) can't beat θ → done
             # (strict <: a θ-tying doc can still win on doc-id order)
@@ -444,7 +458,6 @@ class Scorer:
                 continue
             m, s = self.score_at(node, fresh)
             fresh, s = fresh[m], s[m]
-            n_matched += int(fresh.size)
             scored_docs = np.concatenate([scored_docs, fresh])
             scored_vals = np.concatenate([scored_vals, s])
             srt = np.argsort(scored_docs)
@@ -452,7 +465,7 @@ class Scorer:
             if scored_vals.size >= k:
                 theta = np.partition(scored_vals, -k)[-k]
         d, s = self._take(scored_docs, scored_vals, k)
-        return d, s, max(n_matched, int(scored_docs.size))
+        return d, s, self.estimate_size(node)
 
     @staticmethod
     def _take(docs: np.ndarray, scores: np.ndarray, k: int):

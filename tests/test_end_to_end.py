@@ -211,3 +211,31 @@ def test_fetch_postings_size_guard(spark, built_index):
         idx.fetch_postings([("text", "roman")])
     # uncapped default still serves
     assert SearchIndex(spark, root).fetch_postings([("text", "roman")])
+
+
+def test_n_res_is_whoosh_estimated_length(searcher):
+    """``n_res`` mirrors Whoosh ``results.estimated_length()``
+    (searcher.py:106) = Query.estimate_size: Term→df, Or→sum, And→min
+    — NOT the exact matched count."""
+    from search_engine_wikipedia_spark.functions.textproc import (
+        analyze_text, analyze_title,
+    )
+
+    s, oracle = searcher
+
+    def group_estimate(word):
+        est = 0
+        tt, ti = analyze_text(word), analyze_title(word)
+        if tt:
+            est += len(oracle.postings.get(("text", tt[0]), {}))
+        if ti:
+            est += len(oracle.postings.get(("title", ti[0]), {}))
+        return est
+
+    for q, group in [("Roman Empire", "AND"), ("Solar energy", "OR"),
+                     ("DNA", "AND")]:
+        ests = [group_estimate(w) for w in q.split()]
+        expected = min(ests) if group == "AND" else sum(ests)
+        res = s.search(q, limit=5, exp=False, page_rank=False, group=group,
+                       with_meta=False)
+        assert res["n_res"] == expected, (q, res["n_res"], expected)
