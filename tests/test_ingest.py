@@ -1,0 +1,126 @@
+"""Incremental ingest: appending pages to a built index must be
+equivalent to a from-scratch build over the union corpus — same global
+term statistics, same BM25 scores (doc_id assignment may differ, so
+comparisons key on url) — idempotent on replay, and drivable as a
+stream via foreachBatch."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_wikipedia_spark import schemas
+from search_engine_wikipedia_spark.operators import ingest
+from search_engine_wikipedia_spark.operators.build import IndexBuilder
+from search_engine_wikipedia_spark.plans.query import SearchIndex, WikiSearcher
+from search_engine_wikipedia_spark.sources import catalog
+from search_engine_wikipedia_spark.synth import QUERIES
+
+
+def _pages_df(spark, corpus_slice):
+    return spark.createDataFrame(pd.DataFrame(corpus_slice),
+                                 schema=schemas.PAGES)
+
+
+@pytest.fixture(scope="module")
+def incremental_root(spark, corpus, tmp_path_factory):
+    """Index built on the first 200 pages, then 100 appended."""
+    root = str(tmp_path_factory.mktemp("inc_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:200]), resume=False)
+    n = ingest.append_pages(spark, root, _pages_df(spark, corpus[200:]),
+                            shard_size=200)
+    assert n > 0  # some synth pages are redirects → filtered, like S3
+    return root
+
+
+def _term_stats_fingerprint(spark, root):
+    return sorted(
+        (r["term"], r["field"], int(r["term_df"]), int(r["term_cf"]))
+        for r in catalog.read_table(spark, root, "postings")
+        .select("term", "field", "term_df", "term_cf").distinct().collect()
+    )
+
+
+def _search_by_url(spark, root, queries, limit=10):
+    s = WikiSearcher(SearchIndex(spark, root))
+    out = {}
+    for q in queries:
+        res = s.search(q, limit=limit, exp=False, page_rank=False,
+                       with_meta=True)
+        # tie-robust key: equal-scored docs may order differently when
+        # doc_id assignment differs
+        out[q] = sorted(
+            (round(d["score"], 6), d["link"]) for d in res["docs"]
+        )
+    return out
+
+
+def test_incremental_equals_full_rebuild(spark, corpus, built_index,
+                                         incremental_root):
+    full_root, _ = built_index  # from-scratch build over all 300 pages
+    assert (_term_stats_fingerprint(spark, incremental_root)
+            == _term_stats_fingerprint(spark, full_root))
+    fs_inc = {r["field"]: (r["total_len"], r["doc_count"], r["avg_len"])
+              for r in catalog.read_table(
+                  spark, incremental_root, "field_stats").collect()}
+    fs_full = {r["field"]: (r["total_len"], r["doc_count"], r["avg_len"])
+               for r in catalog.read_table(
+                   spark, full_root, "field_stats").collect()}
+    assert fs_inc == fs_full
+    got = _search_by_url(spark, incremental_root, QUERIES[:12])
+    want = _search_by_url(spark, full_root, QUERIES[:12])
+    assert got == want
+
+
+def test_append_is_idempotent_on_replay(spark, corpus, incremental_root):
+    """Re-appending already-ingested urls is a no-op (the foreachBatch
+    replay scenario)."""
+    before = _term_stats_fingerprint(spark, incremental_root)
+    n = ingest.append_pages(
+        spark, incremental_root, _pages_df(spark, corpus[200:]),
+        shard_size=200)
+    assert n == 0
+    assert _term_stats_fingerprint(spark, incremental_root) == before
+
+
+def test_delta_segment_has_higher_doc_range(spark, incremental_root):
+    """The monotone-salt invariant: the delta segment's doc ids all
+    exceed the base segments' (so merged shards stay doc-sorted)."""
+    seg = catalog.read_table(spark, incremental_root, "term_freqs")
+    ranges = {
+        int(r["seg_id"]): (int(r["lo"]), int(r["hi"]))
+        for r in seg.groupBy("seg_id")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    }
+    delta = max(ranges)
+    for s, (lo, hi) in ranges.items():
+        if s != delta:
+            assert hi < ranges[delta][0], (s, ranges)
+
+
+def test_stream_ingest_foreachbatch(spark, corpus, built_index,
+                                    tmp_path_factory):
+    """Continuous ingest: base build + a 2-file page stream appended via
+    foreachBatch (availableNow) ends up equivalent to the full build."""
+    full_root, _ = built_index
+    root = str(tmp_path_factory.mktemp("stream_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:200]), resume=False)
+
+    feed = str(tmp_path_factory.mktemp("page_feed"))
+    _pages_df(spark, corpus[200:]).repartition(2).write.mode(
+        "overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = ingest.stream_ingest(
+        spark, root, stream,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")),
+        shard_size=200,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    assert (_term_stats_fingerprint(spark, root)
+            == _term_stats_fingerprint(spark, full_root))
