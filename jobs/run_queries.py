@@ -63,7 +63,8 @@ def main() -> None:
         )
         keys = set()
         for q in base:
-            tree, _ = parse_query(q, group=group, expand=False)
+            tree, _ = parse_query(q, group=group, expand=False,
+                                  analyzers=idx.analyzers)
             for t in tree_terms(tree) if tree is not None else []:
                 keys.add((t.field, t.text))
         idx.fetch_postings(sorted(keys))

@@ -455,6 +455,38 @@ def with_term_bucket(postings: DataFrame, n_buckets: int = N_TERM_BUCKETS) -> Da
     )
 
 
+def merge_postings_stage(
+    spark: SparkSession,
+    root: str,
+    n_segments_total: int,
+    shard_size: int,
+    n_term_buckets: int,
+) -> None:
+    """The global-merge stage as a standalone step: read all committed
+    segments, merge with salting, bucket by term, write one file per
+    bucket, record counted lineage.  Shared by ``IndexBuilder.build``
+    and the incremental ``ingest.remerge`` so the two paths can't
+    drift."""
+    from pyspark.sql import Observation
+
+    seg = catalog.read_table(spark, root, "postings_seg")
+    merged = merge_segments(seg, n_segments_total, shard_size=shard_size)
+    merged = with_term_bucket(merged, n_term_buckets)
+    # one file per term bucket (not tasks × buckets)
+    merged = merged.repartition(n_term_buckets, "tbucket")
+    obs = Observation()
+    merged = merged.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("df").alias("p")
+    )
+    catalog.write_table(merged, root, "postings", partition_by=["tbucket"])
+    m = obs.get
+    catalog.append_lineage(spark, root, [{
+        "stage": "postings",
+        "n_terms": int(m["n"]),
+        "n_docs": int(m["p"] or 0),
+    }])
+
+
 # ---------------------------------------------------------------------------
 # Orchestration: build / resume
 # ---------------------------------------------------------------------------
@@ -490,7 +522,11 @@ class IndexBuilder:
         self.segment_batches = segment_batches
         self.n_term_buckets = n_term_buckets
         # schema analyzer selection (reference index.py:38-39 defaults;
-        # A1/A4/A5 from functions.textproc.ANALYZERS also accepted)
+        # A1/A4/A5 from functions.textproc.ANALYZERS also accepted).
+        # Names are persisted in the index (_SCHEMA.json) so the query
+        # path and incremental ingest analyze with the SAME chain.
+        self.text_analyzer_name = text_analyzer
+        self.title_analyzer_name = title_analyzer
         self.text_analyzer = ANALYZERS[text_analyzer]
         self.title_analyzer = ANALYZERS[title_analyzer]
         self.metrics: dict[str, float] = {}
@@ -507,6 +543,14 @@ class IndexBuilder:
     def build(self, pages: DataFrame, resume: bool = True) -> None:
         root = self.index_dir
         spark = self.spark
+        catalog.write_schema_meta(root, {
+            "text_analyzer": self.text_analyzer_name,
+            "title_analyzer": self.title_analyzer_name,
+            # recorded, not inferred: a sparse vocabulary may leave the
+            # top tbucket dirs empty, and counting dirs would then
+            # under-estimate the modulus and prune the WRONG partitions
+            "n_term_buckets": self.n_term_buckets,
+        })
 
         n_docs = None
         if not (resume and catalog.is_complete(root, "docs")):
@@ -518,8 +562,12 @@ class IndexBuilder:
                 obs = Observation("docs_n")
                 docs = numbered.observe(obs, F.count(F.lit(1)).alias("n"))
                 catalog.write_table(docs, root, "docs")
-                # docs table is on disk — release the cached cleaned corpus
-                numbered._sewiki_cached.unpersist()
+                # docs table is on disk — release the cached cleaned
+                # corpus (getattr-guarded: the handle rides on exactly
+                # the object assign_doc_ids returned)
+                cached = getattr(numbered, "_sewiki_cached", None)
+                if cached is not None:
+                    cached.unpersist()
                 n = int(obs.get["n"])  # counted during the write job
                 catalog.append_lineage(spark, root, [
                     {"stage": "docs", "n_docs": n}
@@ -564,30 +612,11 @@ class IndexBuilder:
         self._build_segments_resumable(tf, resume)
 
         if not (resume and catalog.is_complete(root, "postings")):
-            def _merge():
-                from pyspark.sql import Observation
-
-                seg = catalog.read_table(spark, root, "postings_seg")
-                merged = merge_segments(
-                    seg, self.n_segments, shard_size=self.shard_size
-                )
-                merged = with_term_bucket(merged, self.n_term_buckets)
-                # one file per term bucket (not tasks × buckets)
-                merged = merged.repartition(self.n_term_buckets, "tbucket")
-                obs = Observation("postings_n")
-                merged = merged.observe(
-                    obs, F.count(F.lit(1)).alias("n"),
-                    F.sum("df").alias("p"),
-                )
-                catalog.write_table(merged, root, "postings",
-                                    partition_by=["tbucket"])
-                m = obs.get
-                catalog.append_lineage(spark, root, [{
-                    "stage": "postings",
-                    "n_terms": int(m["n"]),
-                    "n_docs": int(m["p"] or 0),
-                }])
-            self._timed("postings", _merge)
+            self._timed("postings", lambda: merge_postings_stage(
+                spark, root, self.n_segments,
+                shard_size=self.shard_size,
+                n_term_buckets=self.n_term_buckets,
+            ))
 
     def _build_segments_resumable(self, tf: DataFrame, resume: bool) -> None:
         """Segment phase in ``segment_batches`` committed batches: lineage

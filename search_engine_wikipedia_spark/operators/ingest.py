@@ -25,8 +25,12 @@ which affects nothing but tie-breaks among equal-scored docs
 (`tests/test_ingest.py` asserts score-level equivalence by url).
 
 ``stream_ingest`` runs the same append per micro-batch via
-``writeStream.foreachBatch`` — exactly-once per epoch is inherited
-from the idempotent segment write (overwrite) + lineage dedup.
+``writeStream.foreachBatch``.  Exactly-once per epoch comes from the
+append JOURNAL (``_INGEST.json``): every table append records the
+files it added, and an orphaned journal — a crash at ANY point of a
+batch — is rolled back on the next entry before the batch re-applies,
+so a replay can neither duplicate postings nor (the subtler failure)
+silently no-op on documents whose postings never landed.
 """
 
 from __future__ import annotations
@@ -41,15 +45,107 @@ from .build import (
     build_segments,
     docs_from_pages,
     field_stats_from_doc_stats,
-    merge_segments,
+    merge_postings_stage,
     term_freqs,
-    with_term_bucket,
 )
 
 
 def _append_table(df: DataFrame, root: str, name: str) -> None:
     df.write.mode("append").parquet(catalog.table_path(root, name))
     catalog.commit(catalog.table_path(root, name))
+
+
+# ---------------------------------------------------------------------------
+# Crash-atomicity: an append journal + rollback.
+#
+# append_pages touches several tables; a crash between the docs append
+# and the segment/postings writes would otherwise leave documents that
+# the url-dedup treats as "already ingested" but that have NO postings
+# — and a foreachBatch epoch REPLAY would then silently no-op.  Every
+# table append is therefore journaled (the exact files it added); on
+# the next append (or replay) an orphaned journal first rolls those
+# files back and rebuilds the derived stages, restoring the pre-batch
+# state, before the batch is applied afresh.  Single-writer assumed
+# (Structured Streaming serializes epochs; lineage rows of a
+# rolled-back attempt are informational only).
+# ---------------------------------------------------------------------------
+_JOURNAL = "_INGEST.json"
+
+
+def _journal_path(root: str) -> str:
+    import os
+
+    return os.path.join(root, _JOURNAL)
+
+
+def _write_journal(root: str, journal: dict) -> None:
+    import json
+    import os
+
+    tmp = _journal_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(journal, f)
+    os.replace(tmp, _journal_path(root))
+
+
+def _table_files(root: str, name: str) -> set[str]:
+    from pathlib import Path
+
+    p = Path(catalog.table_path(root, name))
+    if not p.exists():
+        return set()
+    return {str(f.relative_to(p)) for f in p.rglob("*") if f.is_file()
+            and not f.name.startswith("_")}
+
+
+def _journaled_append(df: DataFrame, root: str, name: str,
+                      journal: dict) -> None:
+    before = _table_files(root, name)
+    _append_table(df, root, name)
+    journal["added"][name] = sorted(_table_files(root, name) - before)
+    _write_journal(root, journal)
+
+
+def recover_incomplete(spark: SparkSession, root: str,
+                       shard_size: int = 1_000_000) -> bool:
+    """Roll back a half-applied append (journal present): delete the
+    files it added, drop its segment partition, and rebuild the derived
+    stages (field_stats, postings) from the surviving tables.  Returns
+    True when a rollback happened."""
+    import json
+    import os
+    import shutil
+
+    jp = _journal_path(root)
+    if not os.path.exists(jp):
+        return False
+    with open(jp) as f:
+        journal = json.load(f)
+    for name, files in journal.get("added", {}).items():
+        tbl = catalog.table_path(root, name)
+        for rel in files:
+            try:
+                os.remove(os.path.join(tbl, rel))
+            except FileNotFoundError:
+                pass
+        catalog.commit(tbl)
+    steps = set(journal.get("steps", []))
+    if "postings_seg" in steps:
+        seg_dir = os.path.join(
+            catalog.table_path(root, "postings_seg"),
+            f"seg_id={journal['seg_id']}",
+        )
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        catalog.commit(catalog.table_path(root, "postings_seg"))
+    if "field_stats" in steps:
+        doc_stats = catalog.read_table(spark, root, "doc_stats")
+        catalog.write_table(
+            field_stats_from_doc_stats(doc_stats), root, "field_stats"
+        )
+    if "remerge" in steps:
+        remerge(spark, root, shard_size=shard_size)
+    os.remove(jp)
+    return True
 
 
 def append_pages(
@@ -65,7 +161,13 @@ def append_pages(
     New urls only — re-crawled urls already in the index are skipped
     (the reference's corpus is deduplicated upstream; updating in place
     would need doc tombstones, out of scope).
+
+    Crash-safe: every append is journaled and a half-applied batch from
+    a previous crash is rolled back on entry (``recover_incomplete``),
+    so a foreachBatch epoch replay re-applies the batch in full instead
+    of silently no-opping on the already-appended docs.
     """
+    recover_incomplete(spark, root, shard_size=shard_size)
     docs_tbl = catalog.read_table(spark, root, "docs")
     stats = docs_tbl.agg(
         F.count("*").alias("n"), F.max("doc_id").alias("mx")
@@ -93,16 +195,26 @@ def append_pages(
     seg_tbl = catalog.read_table(spark, root, "term_freqs")
     next_seg = int(seg_tbl.agg(F.max("seg_id")).collect()[0][0]) + 1
 
-    _append_table(new_docs, root, "docs")
+    journal: dict = {"seg_id": next_seg, "added": {}, "steps": []}
+    _write_journal(root, journal)
+
+    _journaled_append(new_docs, root, "docs", journal)
     catalog.append_lineage(spark, root, [
         {"stage": "docs", "seg_id": next_seg, "n_docs": n_new}
     ])
 
-    # one delta segment: constant seg_id (n_segments=1 over the batch)
-    tf_new = term_freqs(new_docs, 1, n_new).withColumn(
-        "seg_id", F.lit(next_seg)
-    )
-    _append_table(tf_new, root, "term_freqs")
+    # one delta segment: constant seg_id (n_segments=1 over the batch);
+    # tokenized with the analyzer chain recorded at build time so delta
+    # segments share the base segments' vocabulary
+    from ..functions.textproc import ANALYZERS
+
+    schema_meta = catalog.read_schema_meta(root)
+    tf_new = term_freqs(
+        new_docs, 1, n_new,
+        text_analyzer=ANALYZERS[schema_meta["text_analyzer"]],
+        title_analyzer=ANALYZERS[schema_meta["title_analyzer"]],
+    ).withColumn("seg_id", F.lit(next_seg))
+    _journaled_append(tf_new, root, "term_freqs", journal)
 
     tf_delta = catalog.read_table(spark, root, "term_freqs").where(
         F.col("seg_id") == next_seg
@@ -110,12 +222,16 @@ def append_pages(
     from .build import doc_stats_from_tf
 
     ds_new = doc_stats_from_tf(new_docs, tf_delta)
-    _append_table(ds_new, root, "doc_stats")
+    _journaled_append(ds_new, root, "doc_stats", journal)
+    journal["steps"].append("field_stats")
+    _write_journal(root, journal)
     doc_stats = catalog.read_table(spark, root, "doc_stats")
     catalog.write_table(
         field_stats_from_doc_stats(doc_stats), root, "field_stats"
     )
 
+    journal["steps"].append("postings_seg")
+    _write_journal(root, journal)
     seg_df = build_segments(tf_delta).repartition(1, "seg_id")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
@@ -130,35 +246,30 @@ def append_pages(
         {"stage": "postings_seg", "seg_id": next_seg, "n_docs": n_new}
     ])
 
+    journal["steps"].append("remerge")
+    _write_journal(root, journal)
     remerge(spark, root, shard_size=shard_size,
             n_term_buckets=n_term_buckets)
+    import os
+
+    os.remove(_journal_path(root))  # batch fully applied
     return n_new
 
 
 def remerge(spark: SparkSession, root: str, shard_size: int = 1_000_000,
             n_term_buckets: int | None = None) -> None:
-    """Global merge over ALL segments (base + deltas): identical plan
-    to the build's merge stage with n_segments = total count."""
+    """Global merge over ALL segments (base + deltas): the build's own
+    merge stage (`build.merge_postings_stage`) with n_segments = total
+    count, so the two paths cannot drift."""
     seg = catalog.read_table(spark, root, "postings_seg")
     n_total = int(seg.agg(F.max("seg_id")).collect()[0][0]) + 1
     if n_term_buckets is None:
-        import os
-
-        proot = catalog.table_path(root, "postings")
-        n_term_buckets = max(
-            (int(d.split("=")[1]) for d in os.listdir(proot)
-             if d.startswith("tbucket=")),
-            default=N_TERM_BUCKETS - 1,
-        ) + 1 if os.path.exists(proot) else N_TERM_BUCKETS
-    merged = with_term_bucket(
-        merge_segments(seg, n_total, shard_size=shard_size),
-        n_term_buckets,
-    ).repartition(n_term_buckets, "tbucket")
-    catalog.write_table(merged, root, "postings",
-                        partition_by=["tbucket"])
-    catalog.append_lineage(spark, root, [
-        {"stage": "postings", "n_terms": None, "n_docs": None}
-    ])
+        n_term_buckets = (
+            catalog.read_schema_meta(root).get("n_term_buckets")
+            or N_TERM_BUCKETS
+        )
+    merge_postings_stage(spark, root, n_total, shard_size=shard_size,
+                         n_term_buckets=n_term_buckets)
 
 
 def stream_ingest(spark: SparkSession, root: str, stream_pages: DataFrame,

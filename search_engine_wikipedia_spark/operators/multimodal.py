@@ -93,6 +93,13 @@ def byte_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     spread by doc_id, payload column dropped on output.
     """
 
+    def round6(vals):
+        # HALF-UP (like Spark F.round and DuckDB round), NOT numpy's
+        # round-half-to-even: a mean over a power-of-two byte count can
+        # land exactly on a .5e-7 boundary, where banker's rounding
+        # would diverge from the SQL oracle.  All features are ≥ 0.
+        return np.floor(np.asarray(vals, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
@@ -105,9 +112,9 @@ def byte_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                     "doc_id": chunk["doc_id"].to_numpy(),
                     "media_type": chunk["media_type"].to_numpy(),
                     "n_bytes": np.array([f[0] for f in feats], dtype="int32"),
-                    "entropy": np.round([f[1] for f in feats], 6),
-                    "mean_byte": np.round([f[2] for f in feats], 6),
-                    "printable_ratio": np.round([f[3] for f in feats], 6),
+                    "entropy": round6([f[1] for f in feats]),
+                    "mean_byte": round6([f[2] for f in feats]),
+                    "printable_ratio": round6([f[3] for f in feats]),
                 })
 
     return (

@@ -172,7 +172,12 @@ def _tf_lens_stats(documents: DataFrame):
 
 def bm25_score_all(documents: DataFrame, terms: list[str],
                    match_all: bool = True) -> DataFrame:
-    """(doc_id, score) for every matching doc, unrounded."""
+    """(doc_id, score) for every matching doc, unrounded.
+
+    NOTE: the returned (unbounded-size) plan holds the shared tokenize
+    cache for the session; prefer ``bm25_topk``, which materializes its
+    k rows eagerly and releases the cache.  For a full-scoring export,
+    write the result and then ``spark.catalog.clearCache()``."""
     return _bm25_score_all(documents, terms, match_all)[0]
 
 

@@ -44,11 +44,20 @@ PR_ROUND = 5  # searcher.py:135
 # ---------------------------------------------------------------------------
 # Parser (Q1/Q2)
 # ---------------------------------------------------------------------------
-def token_node(word: str, text_boost: float, title_boost: float) -> Or | None:
-    """One query word → Or([text:stemmed, title:token]) (multifield)."""
+DEFAULT_ANALYZERS = {"text": analyze_text, "title": analyze_title}
+
+
+def token_node(word: str, text_boost: float, title_boost: float,
+               analyzers: dict | None = None) -> Or | None:
+    """One query word → Or([text:analyzed, title:analyzed]) (multifield).
+
+    ``analyzers`` = the index's recorded per-field chains (A3/A2 by
+    default); a query MUST be analyzed with the same chain the index
+    was built with or its terms never match the vocabulary."""
+    az = analyzers or DEFAULT_ANALYZERS
     terms = []
-    t_text = analyze_text(word)
-    t_title = analyze_title(word)
+    t_text = az["text"](word)
+    t_title = az["title"](word)
     if t_text:
         terms.append(Term("text", t_text[0], text_boost))
     if t_title:
@@ -65,6 +74,7 @@ def parse_query(
     title_boost: float = 1.0,
     expand: bool = False,
     expander: expansion_mod.Expander | None = None,
+    analyzers: dict | None = None,
 ):
     """→ (tree, expansion_tokens)."""
     exp_tokens: list[str] = []
@@ -72,7 +82,8 @@ def parse_query(
         expander = expander or expansion_mod.Expander()
         exp_tokens = expander.expansion(text)
 
-    nodes = [token_node(w, text_boost, title_boost) for w in text.split()]
+    nodes = [token_node(w, text_boost, title_boost, analyzers)
+             for w in text.split()]
     nodes = [n for n in nodes if n is not None]
     if not nodes:
         orig = None
@@ -83,7 +94,7 @@ def parse_query(
 
     if expand and exp_tokens:
         syn_nodes = [
-            token_node(w, text_boost * 0.5, title_boost * 0.5)
+            token_node(w, text_boost * 0.5, title_boost * 0.5, analyzers)
             for w in exp_tokens
         ]
         syn_nodes = [n for n in syn_nodes if n is not None]
@@ -136,9 +147,19 @@ class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_terms: bool = True,
                  max_postings_per_term: int | None = None):
+        from ..functions.textproc import ANALYZERS
+
         self.spark = spark
         self.index_dir = index_dir
         self.max_postings_per_term = max_postings_per_term
+        # analyze queries with the chains the index was BUILT with
+        # (recorded at build time; defaults = reference schema A3/A2)
+        meta = catalog.read_schema_meta(index_dir)
+        self.analyzer_names = meta
+        self.analyzers = {
+            "text": ANALYZERS[meta["text_analyzer"]],
+            "title": ANALYZERS[meta["title_analyzer"]],
+        }
         self.postings = catalog.read_table(spark, index_dir, "postings")
         fs = catalog.read_table(spark, index_dir, "field_stats").collect()
         n_docs = int(fs[0]["doc_count"])
@@ -153,9 +174,15 @@ class SearchIndex:
         self._term_cache: dict = {} if cache_terms else None
         self._pagerank = None
         self._docs = None
-        self.n_term_buckets = self._detect_buckets()
+        # the bucket MODULUS comes from the recorded schema metadata;
+        # counting tbucket= dirs (the legacy fallback) under-estimates
+        # it when a sparse vocabulary leaves top buckets empty, which
+        # would prune the wrong partitions
+        self.n_term_buckets = (
+            meta.get("n_term_buckets") or self._detect_buckets()
+        )
 
-    def _detect_buckets(self) -> int:
+    def _detect_buckets(self) -> int:  # legacy indexes without metadata
         import os
         root = catalog.table_path(self.index_dir, "postings")
         return max(
@@ -310,6 +337,7 @@ class WikiSearcher:
         tree, exp_tokens = parse_query(
             text, group=group, text_boost=text_boost,
             title_boost=title_boost, expand=exp, expander=self.expander,
+            analyzers=self.index.analyzers,
         )
         if tree is None:
             return {"time_second": 0.0, "expanded": exp_tokens if exp else [],
@@ -333,8 +361,11 @@ class WikiSearcher:
                 "doc_id": d,
                 "link": m.get("url", BASE_URL),
                 "title": m.get("title", ""),
-                "highlight": make_highlight(m.get("clean_text", ""), q_tokens)
-                if with_meta else "",
+                "highlight": make_highlight(
+                    m.get("clean_text", ""), q_tokens,
+                    transform=_hl_transform(
+                        self.index.analyzer_names["text_analyzer"]),
+                ) if with_meta else "",
                 "final_score": float(final[i]),
                 "score": float(scores[i]),
                 # searcher.py:117: rounded multiplier, or -1 if absent
@@ -385,22 +416,40 @@ class Fragment:
         return frozenset(t[0] for t in self.matches)
 
 
-def _analyze_with_chars(text: str, charlimit: int = HL_CHARLIMIT):
-    """A3 analyzer over ``text`` with char offsets (retokenize mode)."""
+def _hl_transform(analyzer_name: str):
+    """Per-token transform of the text-field analyzer chain, for the
+    highlighter's retokenize pass (tokenize/lower/stop are shared)."""
+    from ..functions.porter import stem as _stem
+    from ..functions.textproc import fold_accents, lemmatize_noun
+
+    return {
+        "text": _stem,
+        "text_accent": lambda t: fold_accents(_stem(t)),
+        "text_lemma": lemmatize_noun,
+    }.get(analyzer_name, lambda t: t)
+
+
+def _analyze_with_chars(text: str, charlimit: int = HL_CHARLIMIT,
+                        transform=None):
+    """Text-field analyzer over ``text`` with char offsets (retokenize
+    mode); ``transform`` is the chain's per-token tail (Porter stem for
+    the default A3)."""
     from ..functions.porter import stem as _stem
     from ..functions.textproc import MIN_TOKEN_SIZE, STOP_WORDS, TOKEN_PATTERN
 
+    transform = transform or _stem
     for m in TOKEN_PATTERN.finditer(text):
         if charlimit and m.end() > charlimit:
             return
         tok = m.group(0).lower()
         if len(tok) >= MIN_TOKEN_SIZE and tok not in STOP_WORDS:
-            yield _stem(tok), m.start(), m.end()
+            yield transform(tok), m.start(), m.end()
 
 
 def context_fragments(text: str, matched_terms: set,
                       maxchars: int = HL_MAXCHARS,
-                      surround: int = HL_SURROUND) -> list[Fragment]:
+                      surround: int = HL_SURROUND,
+                      transform=None) -> list[Fragment]:
     """Whoosh ContextFragmenter.fragment_tokens: a sliding token window
     keeps ≤``surround`` chars of *token* text before a hit; a hit opens
     a countdown of ``surround`` (plus any unused before-context) chars
@@ -421,7 +470,7 @@ def context_fragments(text: str, matched_terms: set,
             (tt, ts, te, tt in matched_terms) for tt, ts, te in frag_tokens
         ]))
 
-    for tt, ts, te in _analyze_with_chars(text):
+    for tt, ts, te in _analyze_with_chars(text, transform=transform):
         if tt in matched_terms:
             countdown = surround
             # unused before-context rolls into the after-countdown
@@ -483,13 +532,17 @@ def html_format(text: str, frags: list[Fragment], tagname: str = "b",
 
 
 def make_highlight(clean_text: str, stemmed_terms: list[str],
-                   top: int = 2, minscore: float = 1.0) -> str:
+                   top: int = 2, minscore: float = 1.0,
+                   transform=None) -> str:
     """``result.highlights("text", top=2)`` semantics end-to-end:
     fragment → score → take top-``top`` with score ≥ ``minscore`` →
-    re-sort by position (order=FIRST) → HTML-format joined by '...'."""
+    re-sort by position (order=FIRST) → HTML-format joined by '...'.
+    ``transform`` = the index text analyzer's per-token tail (see
+    ``_hl_transform``) so non-default schemas highlight correctly."""
     if not clean_text or not stemmed_terms:
         return ""
-    frags = context_fragments(clean_text, set(stemmed_terms))
+    frags = context_fragments(clean_text, set(stemmed_terms),
+                              transform=transform)
     scored = sorted(
         ((basic_fragment_score(f), f) for f in frags),
         key=lambda sf: (-sf[0], sf[1].startchar),
@@ -524,7 +577,8 @@ def search_batch(
     trees = {}
     fanout_rows = []
     for qid, q in enumerate(queries):
-        tree, _ = parse_query(q, group=group, expand=exp)
+        tree, _ = parse_query(q, group=group, expand=exp,
+                              analyzers=index.analyzers)
         trees[qid] = (q, tree)
         for t in tree_terms(tree) if tree is not None else []:
             fanout_rows.append((qid, t.field, t.text))
@@ -631,7 +685,8 @@ def search_batch_relational(
     fan_rows = []
     n_groups = {}
     for qid, q in enumerate(queries):
-        tree, _ = parse_query(q, group=group, expand=False)
+        tree, _ = parse_query(q, group=group, expand=False,
+                              analyzers=index.analyzers)
         if tree is None:
             n_groups[qid] = 0
             continue
@@ -724,7 +779,8 @@ def search_many_broadcast(
     for q in queries:
         if q in specs:
             continue
-        tree, _ = parse_query(q, group=group, expand=False)
+        tree, _ = parse_query(q, group=group, expand=False,
+                              analyzers=index.analyzers)
         specs[q] = _tree_spec(tree)
         for t in tree_terms(tree) if tree is not None else []:
             keys.add((t.field, t.text))

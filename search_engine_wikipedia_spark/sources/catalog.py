@@ -122,6 +122,29 @@ def drop_table(root: str, name: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Index schema metadata (analyzer selection — reference WikiSchema)
+# ---------------------------------------------------------------------------
+SCHEMA_META_NAME = "_SCHEMA.json"
+
+
+def write_schema_meta(root: str, meta: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    p = Path(root) / SCHEMA_META_NAME
+    tmp = Path(root) / (SCHEMA_META_NAME + ".tmp")
+    tmp.write_text(json.dumps(meta, indent=1))
+    tmp.rename(p)
+
+
+def read_schema_meta(root: str) -> dict:
+    """Analyzer selection recorded at build time; defaults = the
+    reference schema (index.py:38-39) for indexes from older builds."""
+    p = Path(root) / SCHEMA_META_NAME
+    if not p.exists():
+        return {"text_analyzer": "text", "title_analyzer": "title"}
+    return json.loads(p.read_text())
+
+
+# ---------------------------------------------------------------------------
 # Per-partition lineage rows (the `manifests` table of SURVEY.md §1.4)
 # ---------------------------------------------------------------------------
 def append_lineage(

@@ -124,3 +124,44 @@ def test_stream_ingest_foreachbatch(spark, corpus, built_index,
     assert not q.isActive
     assert (_term_stats_fingerprint(spark, root)
             == _term_stats_fingerprint(spark, full_root))
+
+
+@pytest.mark.parametrize("crash_at", ["term_freqs", "build_segments"])
+def test_crash_mid_append_rolls_back_and_reapplies(spark, corpus,
+                                                   tmp_path_factory,
+                                                   monkeypatch, crash_at):
+    """A crash partway through append_pages (after the docs append, the
+    scenario where url-dedup would otherwise silently no-op the replay)
+    must roll back via the journal and re-apply cleanly."""
+    full_root = str(tmp_path_factory.mktemp("full"))
+    IndexBuilder(spark, full_root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:250]), resume=False)
+    full = _term_stats_fingerprint(spark, full_root)
+
+    root = str(tmp_path_factory.mktemp("crash_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:200]), resume=False)
+
+    orig = getattr(ingest, crash_at)
+    calls = {"n": 0}
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash mid-append")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ingest, crash_at, dying)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest.append_pages(spark, root, _pages_df(spark, corpus[200:250]),
+                            shard_size=200)
+    import os
+
+    assert os.path.exists(os.path.join(root, "_INGEST.json"))
+
+    # replay (as foreachBatch would): rollback + full re-apply
+    n = ingest.append_pages(spark, root, _pages_df(spark, corpus[200:250]),
+                            shard_size=200)
+    assert n > 0
+    assert not os.path.exists(os.path.join(root, "_INGEST.json"))
+    assert _term_stats_fingerprint(spark, root) == full

@@ -265,3 +265,15 @@ def test_build_with_alternate_analyzer(spark, tmp_path):
         .where("field = 'text'").select("term").collect()
     }
     assert "cafe" in terms and "café" not in terms
+    # the analyzer choice is recorded in the index and applied on the
+    # QUERY path too: an accented query folds to the same vocabulary
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex, WikiSearcher,
+    )
+
+    idx = SearchIndex(spark, root)
+    assert idx.analyzer_names["text_analyzer"] == "text_accent"
+    res = WikiSearcher(idx).search("cafés", limit=5, exp=False,
+                                   page_rank=False, with_meta=True)
+    assert len(res["docs"]) == 1
+    assert "<b" in res["docs"][0]["highlight"]  # highlighter folds too
