@@ -325,10 +325,16 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
                 recorded = json.load(f).get("fingerprint")
         if recorded != fp:
             shutil.rmtree(root)
-    builder = IndexBuilder(spark, root, n_segments=8, shard_size=100_000)
-    builder.build(_documents_as_pages(spark, sf_dir), resume=True)
+    # fingerprint is written BEFORE the build: a crash mid-build then
+    # leaves a tree whose recorded fingerprint still matches the input,
+    # so the next invocation RESUMES from the per-stage manifests
+    # instead of rmtree-ing the partial build (stale-input detection is
+    # unaffected — a mismatch is what triggers the rebuild above)
+    os.makedirs(root, exist_ok=True)
     with open(fp_file, "w") as f:
         json.dump({"fingerprint": fp, "sf_dir": sf_dir}, f)
+    builder = IndexBuilder(spark, root, n_segments=8, shard_size=100_000)
+    builder.build(_documents_as_pages(spark, sf_dir), resume=True)
     return root
 
 

@@ -102,8 +102,9 @@ def docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
 
 
 def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None,
-                   pre_ranged: bool = False) -> DataFrame:
-    """Deterministic dense doc_id = rank of ``key`` in global sort order.
+                   pre_ranged: bool = False, start: int = 0) -> DataFrame:
+    """Deterministic dense doc_id = ``start`` + rank of ``key`` in global
+    sort order.
 
     Scalable two-pass dense rank (NO single-task window): range-partition
     by key, count per partition, broadcast the offsets, then number rows
@@ -111,6 +112,8 @@ def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None,
     regardless of parallelism.  ``pre_ranged`` skips the range exchange
     when the input is already range-partitioned + sorted on ``key``
     (docs_from_pages) — avoids re-running its UDFs for the sampling pass.
+    ``start`` lets incremental ingest continue numbering after the
+    base corpus (ids stay int64 end-to-end — numpy arange dtype below).
     """
     spark = df.sparkSession
     n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -124,7 +127,7 @@ def assign_doc_ids(df: DataFrame, key: str = "url", n_parts: int | None = None,
     )
     sizes = {int(r["pid"]): int(r["count"]) for r in counts}
     offsets = {}
-    acc = 0
+    acc = int(start)
     for pid in range(n_parts):
         offsets[pid] = acc
         acc += sizes.get(pid, 0)
@@ -543,14 +546,25 @@ class IndexBuilder:
     def build(self, pages: DataFrame, resume: bool = True) -> None:
         root = self.index_dir
         spark = self.spark
-        catalog.write_schema_meta(root, {
+        meta = {
             "text_analyzer": self.text_analyzer_name,
             "title_analyzer": self.title_analyzer_name,
             # recorded, not inferred: a sparse vocabulary may leave the
             # top tbucket dirs empty, and counting dirs would then
             # under-estimate the modulus and prune the WRONG partitions
             "n_term_buckets": self.n_term_buckets,
-        })
+        }
+        recorded = catalog.read_schema_meta_or_none(root)
+        if resume and recorded is not None and recorded != meta:
+            # a resume with DIFFERENT settings would silently re-record
+            # metadata that no longer matches the persisted tables, and
+            # the query path / incremental ingest would then analyze
+            # with the wrong chain — fail instead
+            raise ValueError(
+                f"index at {root} was built with {recorded}, but this "
+                f"build requests {meta}; pass resume=False to rebuild"
+            )
+        catalog.write_schema_meta(root, meta)
 
         n_docs = None
         if not (resume and catalog.is_complete(root, "docs")):

@@ -26,11 +26,15 @@ which affects nothing but tie-breaks among equal-scored docs
 
 ``stream_ingest`` runs the same append per micro-batch via
 ``writeStream.foreachBatch``.  Exactly-once per epoch comes from the
-append JOURNAL (``_INGEST.json``): every table append records the
-files it added, and an orphaned journal — a crash at ANY point of a
-batch — is rolled back on the next entry before the batch re-applies,
-so a replay can neither duplicate postings nor (the subtler failure)
-silently no-op on documents whose postings never landed.
+append JOURNAL (``_INGEST.json``): every table append journals the
+pre-append file snapshot BEFORE its write job launches (write-ahead
+intent), and an orphaned journal — a crash at ANY point of a batch,
+including between a parquet job's commit and the journal bookkeeping —
+is rolled back on the next entry by deleting (current files − snapshot)
+before the batch re-applies, so a replay can neither duplicate postings
+nor (the subtler failure) silently no-op on documents whose postings
+never landed.  Appends are schema-guarded: a batch whose column
+names/types differ from the committed table fails before writing.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from .. import schemas
 from ..sources import catalog
 from .build import (
     N_TERM_BUCKETS,
+    assign_doc_ids,
     build_segments,
     docs_from_pages,
     field_stats_from_doc_stats,
@@ -98,12 +103,42 @@ def _table_files(root: str, name: str) -> set[str]:
             and not f.name.startswith("_")}
 
 
+def _assert_append_schema(df: DataFrame, root: str, name: str) -> None:
+    """Fail fast when an append's column names/types/order differ from
+    the committed table's.  Parquet has no writer-side schema check, so
+    without this a type drift (e.g. an int32 id into an int64 column)
+    lands silently and poisons every subsequent read — the reads then
+    crash or not depending on which footer Spark samples for inference.
+    """
+    import os
+
+    path = catalog.table_path(root, name)
+    if not os.path.exists(path):
+        return
+    existing = df.sparkSession.read.parquet(path).schema
+    want = [(f.name, f.dataType.simpleString()) for f in existing.fields]
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    if want != got:
+        raise ValueError(
+            f"append schema mismatch for table {name!r}: "
+            f"table has {want}, append has {got}"
+        )
+
+
 def _journaled_append(df: DataFrame, root: str, name: str,
                       journal: dict) -> None:
-    before = _table_files(root, name)
-    _append_table(df, root, name)
-    journal["added"][name] = sorted(_table_files(root, name) - before)
+    """Append with WRITE-AHEAD intent: the pre-append file snapshot is
+    journaled BEFORE the parquet job launches, so a crash anywhere —
+    including the window between the parquet commit and any post-write
+    bookkeeping — leaves a journal from which ``recover_incomplete``
+    can delete exactly (current files − snapshot).  Journaling after
+    the write would leak committed-but-unjournaled files in that
+    window, and the url-dedup replay would then silently skip docs
+    that have no postings."""
+    _assert_append_schema(df, root, name)
+    journal["before"][name] = sorted(_table_files(root, name))
     _write_journal(root, journal)
+    _append_table(df, root, name)
 
 
 def recover_incomplete(spark: SparkSession, root: str,
@@ -121,9 +156,11 @@ def recover_incomplete(spark: SparkSession, root: str,
         return False
     with open(jp) as f:
         journal = json.load(f)
-    for name, files in journal.get("added", {}).items():
+    for name, before in journal.get("before", {}).items():
         tbl = catalog.table_path(root, name)
-        for rel in files:
+        # delete (current − snapshot): everything the half-applied batch
+        # added, whether or not its append job got as far as committing
+        for rel in sorted(_table_files(root, name) - set(before)):
             try:
                 os.remove(os.path.join(tbl, rel))
             except FileNotFoundError:
@@ -178,16 +215,18 @@ def append_pages(
         docs_tbl.select("url"), "url", "left_anti"
     )
     # deterministic id assignment: url-sorted within the batch,
-    # continuing after the current max id
-    from pyspark.sql import Window as W
-
-    w = W.orderBy("url")
-    new_docs = (
-        new_docs.withColumn(
-            "doc_id", F.row_number().over(w) + F.lit(start_id - 1)
-        ).select("doc_id", "url", "title", "clean_text", "links")
-    )
-    new_docs = new_docs.localCheckpoint(eager=True)  # stable ids, one pass
+    # continuing after the current max id.  Reuses the build's two-pass
+    # dense rank (assign_doc_ids) — int64 ids end-to-end (a window
+    # row_number here once wrote int32 into the int64 docs table and
+    # poisoned the parquet dirs with mixed physical types) and no
+    # single-task global window (a bulk append stays partition-parallel).
+    numbered = assign_doc_ids(new_docs, start=start_id)
+    new_docs = numbered.select(
+        "doc_id", "url", "title", "clean_text", "links"
+    ).localCheckpoint(eager=True)  # stable ids, one pass
+    cached = getattr(numbered, "_sewiki_cached", None)
+    if cached is not None:
+        cached.unpersist()
     n_new = new_docs.count()
     if n_new == 0:
         return 0
@@ -195,7 +234,7 @@ def append_pages(
     seg_tbl = catalog.read_table(spark, root, "term_freqs")
     next_seg = int(seg_tbl.agg(F.max("seg_id")).collect()[0][0]) + 1
 
-    journal: dict = {"seg_id": next_seg, "added": {}, "steps": []}
+    journal: dict = {"seg_id": next_seg, "before": {}, "steps": []}
     _write_journal(root, journal)
 
     _journaled_append(new_docs, root, "docs", journal)

@@ -146,16 +146,22 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BM25 relational scoring (Q5/Q6/Q2 as a Catalyst plan)
 # ---------------------------------------------------------------------------
-def _tf_lens_stats(documents: DataFrame):
+def _tf_lens_stats(documents: DataFrame, cache: bool = True):
     """Shared (tf, lens, corpus-stats) trio for the BM25 plans.
 
-    ``tf`` is cached: lens (per-doc length) and the global stats are
-    both derived from it, and the scoring join probes it again — one
-    tokenize pass instead of three.  On a 100 TB deployment these are
-    the precomputed ``doc_stats``/``field_stats`` tables of the index
+    ``tf`` is cached when ``cache=True``: lens (per-doc length) and the
+    global stats are both derived from it, and the scoring join probes
+    it again — one tokenize pass instead of three.  Callers that cache
+    MUST release (``tf.unpersist()``) once materialized; callers that
+    can't control the consumption point (``bm25_score_all``) pass
+    ``cache=False`` and accept re-tokenization instead of leaking a
+    session-lifetime cache.  On a 100 TB deployment these are the
+    precomputed ``doc_stats``/``field_stats`` tables of the index
     build (operators/build.py), not an inline cache.
     """
-    tf = tokens_tf(documents).cache()
+    tf = tokens_tf(documents)
+    if cache:
+        tf = tf.cache()
     lens = (
         documents.select("doc_id")
         .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("n")), "doc_id",
@@ -174,15 +180,16 @@ def bm25_score_all(documents: DataFrame, terms: list[str],
                    match_all: bool = True) -> DataFrame:
     """(doc_id, score) for every matching doc, unrounded.
 
-    NOTE: the returned (unbounded-size) plan holds the shared tokenize
-    cache for the session; prefer ``bm25_topk``, which materializes its
-    k rows eagerly and releases the cache.  For a full-scoring export,
-    write the result and then ``spark.catalog.clearCache()``."""
-    return _bm25_score_all(documents, terms, match_all)[0]
+    Returns a PURE plan (no hidden cache): the caller can consume it
+    whenever, with nothing to release afterwards — the cost is that the
+    tokenize stage recomputes per consumer.  ``bm25_topk`` is the fast
+    path: it caches the shared tokenize table and releases it after
+    eagerly materializing its k rows."""
+    return _bm25_score_all(documents, terms, match_all, cache=False)[0]
 
 
 def _bm25_score_all(documents: DataFrame, terms: list[str],
-                    match_all: bool = True):
+                    match_all: bool = True, cache: bool = True):
     """→ (scored DataFrame, the cached tf it holds), unrounded.
 
     Whoosh BM25: ``idf = ln(N/(df+1)) + 1``; per-term
@@ -192,7 +199,7 @@ def _bm25_score_all(documents: DataFrame, terms: list[str],
     style broadcast joins for (N, avgfl) and per-term df → sum.
     """
     spark = documents.sparkSession
-    tf, lens, g = _tf_lens_stats(documents)
+    tf, lens, g = _tf_lens_stats(documents, cache=cache)
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
     df_t = (
         tf.join(F.broadcast(qterms), "term")
@@ -522,7 +529,7 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
                         k: int = 20,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """Top-``k`` pairs by exact n-gram Jaccard similarity.
 
     |∩| via a shingle self-join, |∪| = |A|+|B|−|∩|.  Deterministic
@@ -533,10 +540,12 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
     ``max_shingle_df`` drops shingles with df above the cap from the
     JOIN side before pairing (they carry ~no similarity signal; set
     sizes for the union stay exact, so the reported Jaccard is a lower
-    bound for pairs that relied on hot shingles).  The default (None =
-    exact) is the small-scale/test setting; a production run at 10¹²
-    docs sets a cap (e.g. 1000) or routes to ``lsh_candidate_pairs``,
-    which is bucketed by construction.
+    bound for pairs that relied on hot shingles).  The cap DEFAULTS ON
+    (1000) so the production path is never accidentally O(df²); pass
+    ``max_shingle_df=None`` explicitly only where exactness is required
+    (the sf0.01 oracle corpus has < 1000 docs, so the default cap is a
+    no-op there and the exact-SQL oracle still matches).  Very-hot-key
+    dedup routes to ``lsh_candidate_pairs``, bucketed by construction.
     """
     # persisted: three consumers (both self-join sides + set sizes)
     # would otherwise each recompute the tokenize→shingle→distinct

@@ -505,28 +505,35 @@ def basic_fragment_score(frag: Fragment) -> float:
 def html_format(text: str, frags: list[Fragment], tagname: str = "b",
                 between: str = "...") -> str:
     """Whoosh HtmlFormatter: matched tokens wrapped as
-    ``<b class="match termN">orig</b>`` (N assigned per distinct
-    *original* token text, modulo 5), fragments joined by ``...``."""
+    ``<b class="match termN">orig</b>``, fragments joined by ``...``.
+
+    Parity details (whoosh/highlight.py HtmlFormatter._format_fragment):
+    ``seen`` is keyed on the ANALYZED token text (``t.text``), so
+    stem-equal surface variants ('runs'/'running') share one termN
+    class; both the matched token surface and the inter-match text are
+    html-escaped (cgi.escape semantics: ``& < >`` only, quotes left)."""
+    from html import escape
+
     seen: dict[str, int] = {}
     parts = []
     for f in frags:
         index = f.startchar
         buf = []
-        for _, ts, te, matched in f.tokens:
+        for tt, ts, te, matched in f.tokens:
             if not matched:
                 continue
-            orig = text[ts:te]
-            if orig in seen:
-                termnum = seen[orig]
+            orig = escape(text[ts:te], quote=False)
+            if tt in seen:
+                termnum = seen[tt]
             else:
                 termnum = len(seen) % HL_MAXCLASSES
-                seen[orig] = termnum
-            buf.append(text[index:ts])
+                seen[tt] = termnum
+            buf.append(escape(text[index:ts], quote=False))
             buf.append(
                 f'<{tagname} class="match term{termnum}">{orig}</{tagname}>'
             )
             index = te
-        buf.append(text[index:f.endchar])
+        buf.append(escape(text[index:f.endchar], quote=False))
         parts.append("".join(buf))
     return between.join(parts)
 

@@ -138,9 +138,16 @@ def write_schema_meta(root: str, meta: dict) -> None:
 def read_schema_meta(root: str) -> dict:
     """Analyzer selection recorded at build time; defaults = the
     reference schema (index.py:38-39) for indexes from older builds."""
+    meta = read_schema_meta_or_none(root)
+    if meta is None:
+        return {"text_analyzer": "text", "title_analyzer": "title"}
+    return meta
+
+
+def read_schema_meta_or_none(root: str) -> dict | None:
     p = Path(root) / SCHEMA_META_NAME
     if not p.exists():
-        return {"text_analyzer": "text", "title_analyzer": "title"}
+        return None
     return json.loads(p.read_text())
 
 

@@ -83,3 +83,16 @@ def test_empty_inputs():
     assert make_highlight("", ["x"]) == ""
     assert make_highlight("some text", []) == ""
     assert make_highlight("no hits here at all", ["zzz"]) == ""
+
+
+def test_stem_variants_share_termclass_and_html_is_escaped():
+    """HtmlFormatter parity: the termN class counter keys on the
+    ANALYZED token text (whoosh keys ``seen`` on t.text), so
+    stem-equal surface variants share one class; and both matched
+    tokens and inter-match text are html-escaped (& < > only)."""
+    text = "runs & <running>"
+    got = make_highlight(text, ["run"])
+    assert got == (
+        '<b class="match term0">runs</b> &amp; &lt;'
+        '<b class="match term0">running</b>&gt;'
+    )

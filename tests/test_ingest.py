@@ -165,3 +165,31 @@ def test_crash_mid_append_rolls_back_and_reapplies(spark, corpus,
     assert n > 0
     assert not os.path.exists(os.path.join(root, "_INGEST.json"))
     assert _term_stats_fingerprint(spark, root) == full
+
+
+def test_append_schema_guard_rejects_type_drift(spark, incremental_root):
+    """An append whose column types differ from the committed table
+    (e.g. an int32 doc_id into the int64 docs table) must fail fast —
+    parquet itself has no writer-side schema check, and a silent drift
+    poisons every subsequent read."""
+    bad = spark.range(1).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("http://x/A").alias("url"),
+        F.lit("A").alias("title"),
+        F.lit("body").alias("clean_text"),
+        F.array(F.lit("B")).alias("links"),
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ingest._assert_append_schema(bad, incremental_root, "docs")
+
+
+def test_appended_doc_ids_stay_int64(spark, incremental_root):
+    """All docs parquet footers carry ONE physical type for doc_id."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    types = {
+        str(pq.read_schema(str(f)).field("doc_id").type)
+        for f in Path(incremental_root, "docs").rglob("*.parquet")
+    }
+    assert types == {"int64"}, types

@@ -110,3 +110,24 @@ def test_tokenize_is_jvm_side_with_map_side_combine(docs):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p and p.count("HashAggregate") == 2
     assert p.count("hashpartitioning(") == 1
+
+
+def test_assign_doc_ids_plan_is_partition_parallel(spark):
+    """Incremental ingest id assignment reuses the two-pass dense rank:
+    no global Window (whose sort funnels the whole batch through ONE
+    task) and int64 ids end-to-end (a row_number window once wrote
+    int32 into the int64 docs table and poisoned the parquet dirs)."""
+    from search_engine_wikipedia_spark.operators import build
+
+    df = spark.range(100).select(
+        F.concat(F.lit("u"), F.format_string("%03d", F.col("id")))
+        .alias("url")
+    )
+    numbered = build.assign_doc_ids(df, key="url", start=7)
+    p = plan_of(numbered)
+    assert "Window" not in p, p[:800]
+    assert "SinglePartition" not in p, p[:800]
+    assert numbered.schema["doc_id"].dataType.simpleString() == "bigint"
+    lo, hi = numbered.agg(F.min("doc_id"), F.max("doc_id")).first()
+    assert (lo, hi) == (7, 106)
+    numbered._sewiki_cached.unpersist()
