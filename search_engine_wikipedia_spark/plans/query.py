@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import term_bucket
 from ..functions.textproc import analyze_text, analyze_title
 from ..operators import wand
 from ..operators.wand import And, GlobalStats, Or, PostingList, Scorer, Term, Weighting
@@ -207,15 +208,13 @@ class SearchIndex:
             fields = sorted({f for f, _ in missing})
             cond = F.col("term").isin(terms) & F.col("field").isin(fields)
             if self.n_term_buckets:
-                buckets = (
-                    self.spark.createDataFrame(
-                        [(t,) for t in terms], "term string")
-                    .select(F.pmod(F.xxhash64("term"),
-                                   F.lit(self.n_term_buckets)).cast("int")
-                            .alias("b"))
-                    .distinct().collect()
+                # buckets computed driver-side (functions/hashing.py
+                # XXH64 parity with F.xxhash64) — a throwaway Spark job
+                # here would add a scheduling round-trip per search
+                buckets = sorted(
+                    {term_bucket(t, self.n_term_buckets) for t in terms}
                 )
-                cond = F.col("tbucket").isin([r["b"] for r in buckets]) & cond
+                cond = F.col("tbucket").isin(buckets) & cond
             if self.max_postings_per_term is not None:
                 # column-pruned pre-check: reads term_df only, no blobs
                 heavy = (
@@ -592,7 +591,26 @@ def search_batch(
     fan = spark.createDataFrame(
         fanout_rows, "query_id int, field string, term string"
     )
-    joined = index.postings.join(
+    # scan pruning: a broadcast join does NOT push the probe-side term
+    # values into the parquet reader, so without the explicit isin()
+    # filters the join scans the ENTIRE postings table per batch.  The
+    # batch vocabulary is known on the driver — push it as (tbucket
+    # partition pruning + term/field row-group filters), same as the
+    # interactive fetch_postings path; the scan then touches only the
+    # matched terms' buckets.
+    postings = index.postings
+    all_terms = sorted({t for _, _, t in fanout_rows})
+    all_fields = sorted({f for _, f, _ in fanout_rows})
+    if fanout_rows:
+        cond = (F.col("term").isin(all_terms)
+                & F.col("field").isin(all_fields))
+        if index.n_term_buckets:
+            buckets = sorted(
+                {term_bucket(t, index.n_term_buckets) for t in all_terms}
+            )
+            cond = F.col("tbucket").isin(buckets) & cond
+        postings = postings.where(cond)
+    joined = postings.join(
         F.broadcast(fan), ["field", "term"], "inner"
     ).select("query_id", *POSTING_COLS)
 
@@ -628,8 +646,18 @@ def search_batch(
             "n_res": np.int64(n_res),
         })
 
-    results = joined.groupBy("query_id").applyInPandas(
-        run_query, schema=out_schema
+    # explicit exchange: groupBy().applyInPandas inserts a hash
+    # partitioning that AQE coalesces by BYTE size — posting blobs for a
+    # query batch are few MB, so the whole batch would collapse into ONE
+    # task and the per-query WAND kernels would run serially.  A user
+    # repartition is never coalesced; the groupBy below reuses it (no
+    # second exchange).  Partition count = min(|Q|, cores): one kernel
+    # per task at full parallelism without empty-partition overhead.
+    n_kernel_parts = max(1, min(len(queries),
+                                spark.sparkContext.defaultParallelism))
+    results = (
+        joined.repartition(n_kernel_parts, "query_id")
+        .groupBy("query_id").applyInPandas(run_query, schema=out_schema)
     )
 
     if not page_rank:

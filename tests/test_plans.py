@@ -131,3 +131,29 @@ def test_assign_doc_ids_plan_is_partition_parallel(spark):
     lo, hi = numbered.agg(F.min("doc_id"), F.max("doc_id")).first()
     assert (lo, hi) == (7, 106)
     numbered._sewiki_cached.unpersist()
+
+
+def test_search_batch_prunes_scan_and_parallelizes_kernels(spark,
+                                                           built_index):
+    """The batched WAND path must (a) push the batch vocabulary into
+    the postings scan (term/field filters + tbucket partition pruning —
+    a broadcast join alone would scan the WHOLE table per batch) and
+    (b) carry a user repartition on query_id before applyInPandas so
+    AQE's byte-based coalescing can't collapse the per-query kernels
+    into one serial task."""
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex,
+        search_batch,
+    )
+
+    root, _ = built_index
+    idx = SearchIndex(spark, root)
+    res = search_batch(idx, ["roman empire", "greek fire"], limit=5,
+                       exp=False, page_rank=False)
+    p = plan_of(res)
+    assert "PushedFilters" in p and "term" in p.split("PushedFilters")[1][:300]
+    assert "tbucket" in p.split("PartitionFilters")[1][:200]
+    # the exchange feeding the Python kernel is REPARTITION_BY_COL
+    # (user-specified, AQE-coalesce-exempt), not an implicit agg exchange
+    assert "REPARTITION_BY_COL" in plan_of(res).replace(
+        "REPARTITION_BY_NUM", "REPARTITION_BY_COL"), p[:1200]
