@@ -53,7 +53,7 @@ def write_table(
     """Write a stage table + commit manifest.  Returns the path."""
     path = table_path(root, name)
     spark = df.sparkSession
-    if iceberg_enabled(spark):  # pragma: no cover - no Iceberg jar in sandbox
+    if iceberg_enabled(spark):
         writer = df.writeTo(f"idx.{name}")
         if partition_by:
             from pyspark.sql import functions as F

@@ -193,3 +193,58 @@ def test_appended_doc_ids_stay_int64(spark, incremental_root):
         for f in Path(incremental_root, "docs").rglob("*.parquet")
     }
     assert types == {"int64"}, types
+
+
+def test_tiered_merge_rewrites_only_delta_buckets(spark, corpus,
+                                                  tmp_path_factory):
+    """A small-vocabulary delta must rewrite ONLY the tbucket partitions
+    containing its terms (dynamic partition overwrite); every other
+    bucket's parquet files stay byte-identical — the O(delta), not
+    O(index), re-merge.  With buckets sized to the vocabulary the
+    touched fraction is a few % (here: ~12 delta terms over 256
+    buckets)."""
+    import datetime as dt
+    from pathlib import Path
+
+    root = str(tmp_path_factory.mktemp("tiered_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200,
+                 n_term_buckets=256).build(
+        _pages_df(spark, corpus[:250]), resume=False)
+
+    post = Path(root, "postings")
+
+    def snapshot():
+        return {
+            str(f.relative_to(post)): (f.stat().st_size, f.stat().st_mtime_ns)
+            for f in post.rglob("*.parquet")
+        }
+
+    before = snapshot()
+    text = " ".join(f"qqword{j}" for j in range(10)) * 3
+    delta = [{
+        "url": f"https://en.wikipedia.org/wiki/Tiered_{k}",
+        "warc_ts": dt.datetime(2024, 6, 1), "html": b"",
+        "text": text, "lang": "en",
+    } for k in range(2)]
+    n = ingest.append_pages(spark, root, _pages_df(spark, delta),
+                            shard_size=200)
+    assert n == 2
+    after = snapshot()
+
+    def bucket_of(rel):
+        return rel.split("/")[0]
+
+    changed = {bucket_of(p) for p in set(before) ^ set(after)}
+    changed |= {bucket_of(p) for p in before.keys() & after.keys()
+                if before[p] != after[p]}
+    all_buckets = {bucket_of(p) for p in after}
+    frac = len(changed) / len(all_buckets)
+    assert frac < 0.10, (sorted(changed), frac)
+
+    # and the tiered result equals a from-scratch build over the union
+    full_root = str(tmp_path_factory.mktemp("tiered_full"))
+    IndexBuilder(spark, full_root, n_segments=4, shard_size=200,
+                 n_term_buckets=256).build(
+        _pages_df(spark, corpus[:250] + delta), resume=False)
+    assert (_term_stats_fingerprint(spark, root)
+            == _term_stats_fingerprint(spark, full_root))
