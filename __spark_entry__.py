@@ -36,6 +36,11 @@ STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOP_WORDS)) + "]"
 
 AND_TERMS = ["spark", "join", "fast"]
 OR_TERMS = ["window", "batch", "shuffle"]
+# Whoosh-syntax surface (plans/qsyntax.py): "spark join NOT window" /
+# "s*" rewrites — relational twins of the engine's Not node + wildcard
+ANDNOT_TERMS = ["spark", "join"]
+ANDNOT_EXCLUDE = ["window"]
+PREFIX_Q = "s"
 BATCH_QUERIES = {0: ["spark", "join"], 1: ["hash", "merge"],
                  2: ["customer", "filter", "scan"]}
 PROBE_IDS = [0, 1, 2, 3, 4]
@@ -91,6 +96,54 @@ s AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 6) AS score FROM s {having}
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25_andnot_sql(terms: list[str], exclude: list[str], k: int) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    nvals = ", ".join(f"('{t}')" for t in exclude)
+    return f"""
+WITH {TOK_CTE}, {LENS_CTE},
+q AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+nq AS (SELECT * FROM (VALUES {nvals}) AS v(term)),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf JOIN q USING (term) GROUP BY term),
+excl AS (SELECT DISTINCT doc_id FROM tf JOIN nq USING (term)),
+s AS (
+  SELECT tf.doc_id,
+         sum((ln(CAST(g.n_docs AS DOUBLE)/(dfq.df + 1)) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2*(0.25 + 0.75*lens.n_tokens/g.avg_len))
+            ) AS score,
+         count(*) AS nm
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       JOIN lens USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM s
+WHERE nm = {len(terms)} AND doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25_prefix_sql(prefix: str, k: int) -> str:
+    return f"""
+WITH {TOK_CTE}, {LENS_CTE},
+m AS (SELECT * FROM tf WHERE term LIKE '{prefix}%'),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+         sum((ln(CAST(g.n_docs AS DOUBLE)/(dfq.df + 1)) + 1.0)
+             * m.tf * 2.2
+             / (m.tf + 1.2*(0.25 + 0.75*lens.n_tokens/g.avg_len))
+            ) AS score
+  FROM m JOIN dfq USING (term)
+       JOIN lens USING (doc_id) CROSS JOIN g
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM s
 ORDER BY score DESC, doc_id LIMIT {k}
 """
 
@@ -536,6 +589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), AND_TERMS, k=10, match_all=True),
         "bm25_or_topk": lambda s, d: tp.bm25_topk(
             _docs(s, d), OR_TERMS, k=10, match_all=False),
+        "bm25_andnot_topk": lambda s, d: tp.bm25_andnot_topk(
+            _docs(s, d), ANDNOT_TERMS, ANDNOT_EXCLUDE, k=10),
+        "bm25_prefix_topk": lambda s, d: tp.bm25_prefix_topk(
+            _docs(s, d), PREFIX_Q, k=10),
         "batch_topk": lambda s, d: tp.batch_topk(
             _docs(s, d), BATCH_QUERIES, k=5),
         # link graph + PageRank (G2/G3)
@@ -607,6 +664,9 @@ SELECT CAST(count(*) AS BIGINT) AS doc_count,
 FROM lens""",
         "bm25_and_topk": _bm25_sql(AND_TERMS, True, 10),
         "bm25_or_topk": _bm25_sql(OR_TERMS, False, 10),
+        "bm25_andnot_topk": _bm25_andnot_sql(
+            ANDNOT_TERMS, ANDNOT_EXCLUDE, 10),
+        "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q, 10),
         "batch_topk": f"""
 WITH {TOK_CTE}, {LENS_CTE},
 fan AS (SELECT * FROM (VALUES {batch_vals}) AS v(query_id, term)),

@@ -252,6 +252,72 @@ def bm25_topk(documents: DataFrame, terms: list[str], k: int = 10,
     return out
 
 
+def bm25_andnot_topk(documents: DataFrame, terms: list[str],
+                     exclude_terms: list[str], k: int = 10) -> DataFrame:
+    """Top-k BM25 over an AND group, excluding docs containing ANY of
+    ``exclude_terms`` — the relational twin of the engine's Whoosh
+    ``a AND NOT b`` queries (plans/qsyntax.py; reference parser
+    OperatorsPlugin NOT, searcher.py:53-55).
+
+    Plan: the AND scoring plan plus one broadcast anti-join on the
+    (small, distinct) excluded-doc set — negation never scores, it only
+    filters, exactly like the WAND kernel's ``Not`` node.
+    """
+    spark = documents.sparkSession
+    scored, tf = _bm25_score_all(documents, terms, match_all=True)
+    nq = spark.createDataFrame([(t,) for t in exclude_terms], "term string")
+    excl = (
+        tf.join(F.broadcast(nq), "term").select("doc_id").distinct()
+    )
+    topk = (
+        scored.join(excl, "doc_id", "left_anti")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    out = topk.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
+def bm25_prefix_topk(documents: DataFrame, prefix: str,
+                     k: int = 10) -> DataFrame:
+    """Top-k BM25 over EVERY vocabulary term starting with ``prefix``
+    (the wildcard-rewrite baseline behind the engine's ``euro*``
+    queries, plans/qsyntax.py).
+
+    The prefix predicate lands on the tokenized table directly — no
+    driver-side dictionary round-trip — and per-term df is computed for
+    exactly the matched vocabulary.  Scoring = OR-group BM25 (sum over
+    matched terms), Whoosh Wildcard semantics.
+    """
+    tf, lens, g = _tf_lens_stats(documents)
+    m = tf.where(F.col("term").startswith(prefix))
+    df_t = m.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        m.join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(g), "_k")
+        .withColumn(
+            "w",
+            (F.log(F.col("doc_count") / (F.col("df") + F.lit(1))) + F.lit(1.0))
+            * F.col("tf") * F.lit(K1 + 1.0)
+            / (F.col("tf") + F.lit(K1)
+               * (F.lit(1.0 - B)
+                  + F.lit(B) * F.col("n_tokens") / F.col("avg_len"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )
+    out = topk.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
 def batch_topk(documents: DataFrame, queries: dict[int, list[str]],
                k: int = 5) -> DataFrame:
     """Many OR-queries in ONE job → (query_id, rank, doc_id, score).

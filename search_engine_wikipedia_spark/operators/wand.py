@@ -264,6 +264,17 @@ class Or:
 
 
 @dataclass
+class Not:
+    """Whoosh ``NOT x`` (qparser OperatorsPlugin): excludes docs
+    matching the child, contributes no score (Whoosh AndNot keeps the
+    positive side's score).  Supported directly under a root ``And``
+    (the AndGroup default the reference uses, ``searcher.py:23-24``);
+    the parser normalizes other placements or rejects them."""
+
+    child: object
+
+
+@dataclass
 class GlobalStats:
     n_docs: int
     avg_len: dict  # field -> avg analyzed length
@@ -282,6 +293,8 @@ class Scorer:
         return idf(self.stats.n_docs, df)
 
     def upper_bound(self, node) -> float:
+        if isinstance(node, Not):
+            return 0.0  # a negation never adds score
         if isinstance(node, Term):
             if node.plist is None or node.plist.n_postings == 0:
                 return 0.0
@@ -294,6 +307,9 @@ class Scorer:
     # -- exact evaluation at given docs (selective block decode) ----------
     def score_at(self, node, docs: np.ndarray):
         """→ (match_mask, scores) at the given sorted doc array."""
+        if isinstance(node, Not):
+            m, _ = self.score_at(node.child, docs)
+            return ~m, np.zeros(docs.size, dtype=np.float64)
         if isinstance(node, Term):
             scores = np.zeros(docs.size, dtype=np.float64)
             if node.plist is None:
@@ -327,18 +343,31 @@ class Scorer:
 
     # -- exhaustive candidates (exact; used as fallback + in tests) -------
     def candidates_exhaustive(self, node) -> np.ndarray:
+        if isinstance(node, Not):
+            # a negation cannot enumerate matches (it would be the whole
+            # corpus minus the child); callers filter via score_at
+            return np.empty(0, dtype=np.int64)
         if isinstance(node, Term):
             if node.plist is None or node.plist.n_postings == 0:
                 return np.empty(0, dtype=np.int64)
             return node.plist.decode_all()[0]
         if isinstance(node, And):
-            sets = [self.candidates_exhaustive(c) for c in node.children]
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c for c in node.children if isinstance(c, Not)]
+            if not pos:  # bare NOT matches nothing (Whoosh standalone Not)
+                return np.empty(0, dtype=np.int64)
+            sets = [self.candidates_exhaustive(c) for c in pos]
             sets.sort(key=len)
             out = sets[0]
             for s in sets[1:]:
                 if out.size == 0:
                     break
                 out = out[np.isin(out, s, assume_unique=True)]
+            for n in neg:
+                if out.size == 0:
+                    break
+                m, _ = self.score_at(n, out)
+                out = out[m]
             return out
         parts = [self.candidates_exhaustive(c) for c in node.children]
         if not parts:
@@ -362,6 +391,10 @@ class Scorer:
         return cand
 
     def _node_size(self, node) -> int:
+        if isinstance(node, Not):
+            # sorts negations LAST in the And intersection order: they
+            # can only filter, never seed
+            return self.stats.n_docs
         if isinstance(node, Term):
             return node.plist.n_postings if node.plist else 0
         if isinstance(node, And):
@@ -371,6 +404,11 @@ class Scorer:
     def _seed_docs(self, node) -> np.ndarray:
         """All docs that can match the node (exact for Term/Or; for And,
         the full intersection)."""
+        if isinstance(node, Not):
+            # seeding from a negation would be the whole corpus; an And
+            # whose cheapest child is a Not has no positive seed → empty
+            # (Whoosh: a standalone NOT query returns no results)
+            return np.empty(0, dtype=np.int64)
         if isinstance(node, Term):
             if node.plist is None or node.plist.n_postings == 0:
                 return np.empty(0, dtype=np.int64)
@@ -411,6 +449,8 @@ class Scorer:
         (searcher.py:106) — the optimized top-k search skips blocks, so
         Whoosh reports the query's df-based estimate, not an exact
         matched count."""
+        if isinstance(node, Not):
+            return self.stats.n_docs  # Whoosh Not.estimate_size = doc_count
         if isinstance(node, Term):
             return node.plist.term_df if node.plist is not None else 0
         if isinstance(node, And):
@@ -425,6 +465,10 @@ class Scorer:
         Root And → skip-intersection then score.
         Root Or → MaxScore seeding with block-max pruning.
         """
+        if isinstance(node, Not):
+            # standalone negation: no positive component to seed from
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64), 0)
         if isinstance(node, Term) or isinstance(node, And):
             cand = self._seed_docs(node)
             m, s = self.score_at(node, cand)

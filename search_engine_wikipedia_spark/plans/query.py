@@ -33,9 +33,12 @@ from pyspark.sql import functions as F
 from ..functions.hashing import term_bucket
 from ..functions.textproc import analyze_text, analyze_title
 from ..operators import wand
-from ..operators.wand import And, GlobalStats, Or, PostingList, Scorer, Term, Weighting
+from ..operators.wand import (
+    And, GlobalStats, Not, Or, PostingList, Scorer, Term, Weighting,
+)
 from ..sources import catalog
 from . import expansion as expansion_mod
+from . import qsyntax
 
 BASE_URL = "https://en.wikipedia.org/wiki/"  # searcher.py:27
 PR_ALPHA = 4  # graph.py:194
@@ -68,6 +71,40 @@ def token_node(word: str, text_boost: float, title_boost: float,
     return Or(terms)
 
 
+def _syntax_leaf(word, text_boost: float, title_boost: float,
+                 analyzers: dict | None, index):
+    """qsyntax.Word → leaf node (analysis + multifield + wildcards)."""
+    az = analyzers or DEFAULT_ANALYZERS
+    if word.is_pattern:
+        if index is None:
+            raise qsyntax.QuerySyntaxError(
+                f"wildcard query {word.text!r} needs an open index to "
+                "expand against the vocabulary; pass index= to parse_query"
+            )
+        fields = ([word.field] if word.field in ("text", "title")
+                  else ["text", "title"])
+        leaves = []
+        for f in fields:
+            fb = text_boost if f == "text" else title_boost
+            for t in index.expand_pattern(f, word.text.lower()):
+                leaves.append(Term(f, t, word.boost * fb))
+        if not leaves:
+            return None
+        return leaves[0] if len(leaves) == 1 else Or(leaves)
+    if word.field == "id_page":
+        # deviation (documented in qsyntax): the ID field isn't in our
+        # postings, so this leaf matches nothing
+        return Term("id_page", word.text, word.boost)
+    if word.field is not None:
+        toks = az[word.field](word.text)
+        if not toks:
+            return None
+        fb = text_boost if word.field == "text" else title_boost
+        return Term(word.field, toks[0], word.boost * fb)
+    return token_node(word.text, text_boost * word.boost,
+                      title_boost * word.boost, analyzers)
+
+
 def parse_query(
     text: str,
     group: str = "AND",
@@ -76,22 +113,38 @@ def parse_query(
     expand: bool = False,
     expander: expansion_mod.Expander | None = None,
     analyzers: dict | None = None,
+    index=None,
 ):
-    """→ (tree, expansion_tokens)."""
+    """→ (tree, expansion_tokens).
+
+    Plain whitespace queries take the legacy multifield path; queries
+    using Whoosh syntax (AND/OR/NOT, parens, ``field:``, ``^boost``,
+    wildcards, quotes) route through ``plans.qsyntax`` — see its
+    docstring for the exact supported surface and deviations.
+    ``index`` (a ``SearchIndex``) is only needed for wildcard patterns,
+    which expand against the built vocabulary.
+    """
     exp_tokens: list[str] = []
     if expand:
         expander = expander or expansion_mod.Expander()
         exp_tokens = expander.expansion(text)
 
-    nodes = [token_node(w, text_boost, title_boost, analyzers)
-             for w in text.split()]
-    nodes = [n for n in nodes if n is not None]
-    if not nodes:
-        orig = None
-    elif len(nodes) == 1:
-        orig = nodes[0]
+    if qsyntax.has_syntax(text):
+        orig = qsyntax.parse_syntax(
+            text, group,
+            lambda w: _syntax_leaf(w, text_boost, title_boost,
+                                   analyzers, index),
+        )
     else:
-        orig = And(nodes) if group == "AND" else Or(nodes)
+        nodes = [token_node(w, text_boost, title_boost, analyzers)
+                 for w in text.split()]
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            orig = None
+        elif len(nodes) == 1:
+            orig = nodes[0]
+        else:
+            orig = And(nodes) if group == "AND" else Or(nodes)
 
     if expand and exp_tokens:
         syn_nodes = [
@@ -110,6 +163,8 @@ def tree_terms(node) -> list[Term]:
         return []
     if isinstance(node, Term):
         return [node]
+    if isinstance(node, Not):
+        return tree_terms(node.child)
     out = []
     for c in node.children:
         out.extend(tree_terms(c))
@@ -247,10 +302,33 @@ class SearchIndex:
         return out
 
     def bind(self, tree) -> None:
-        terms = tree_terms(tree)
+        terms = [t for t in tree_terms(tree) if t.field in ("text", "title")]
         plists = self.fetch_postings([(t.field, t.text) for t in terms])
         for t in terms:
             t.plist = plists[(t.field, t.text)]
+
+    def expand_pattern(self, field: str, pattern: str,
+                       cap: int = qsyntax.MAX_PATTERN_TERMS) -> list[str]:
+        """Vocabulary terms matching a Whoosh wildcard ``pattern``.
+
+        A column-pruned dictionary scan over the postings table: only
+        the (field, term) columns leave parquet (no blobs), the literal
+        prefix before the first wildcard is pushed down as a
+        ``StartsWith`` filter (prunes row groups on the term-sorted
+        shards), and the full anchored regex runs JVM-side.  tbucket
+        partition pruning can't apply (the bucket is a hash of the
+        whole term) — acceptable: this is a dictionary scan, not a
+        postings scan.  Deterministic: term-sorted, capped at ``cap``.
+        """
+        base = self.postings.select("term").where(F.col("field") == field)
+        prefix = qsyntax.pattern_prefix(pattern)
+        if prefix:
+            base = base.where(F.col("term").startswith(prefix))
+        rows = (
+            base.where(F.col("term").rlike(qsyntax.pattern_regex(pattern)))
+            .distinct().orderBy("term").limit(cap).collect()
+        )
+        return [r["term"] for r in rows]
 
     # -- auxiliary tables ------------------------------------------------
     def pagerank_for(self, doc_ids: list[int]) -> dict[int, float]:
@@ -336,7 +414,7 @@ class WikiSearcher:
         tree, exp_tokens = parse_query(
             text, group=group, text_boost=text_boost,
             title_boost=title_boost, expand=exp, expander=self.expander,
-            analyzers=self.index.analyzers,
+            analyzers=self.index.analyzers, index=self.index,
         )
         if tree is None:
             return {"time_second": 0.0, "expanded": exp_tokens if exp else [],
@@ -584,7 +662,7 @@ def search_batch(
     fanout_rows = []
     for qid, q in enumerate(queries):
         tree, _ = parse_query(q, group=group, expand=exp,
-                              analyzers=index.analyzers)
+                              analyzers=index.analyzers, index=index)
         trees[qid] = (q, tree)
         for t in tree_terms(tree) if tree is not None else []:
             fanout_rows.append((qid, t.field, t.text))
@@ -718,16 +796,41 @@ def search_batch_relational(
     """
     spark = index.spark
     fan_rows = []
+    neg_rows = []  # (query_id, field, term): any-match exclusion
     n_groups = {}
     for qid, q in enumerate(queries):
         tree, _ = parse_query(q, group=group, expand=False,
-                              analyzers=index.analyzers)
+                              analyzers=index.analyzers, index=index)
         if tree is None:
             n_groups[qid] = 0
             continue
         groups = tree.children if isinstance(tree, And) else [tree]
-        n_groups[qid] = len(groups) if group == "AND" else 1
-        for gi, g in enumerate(groups):
+        pos_groups = []
+        for g in groups:
+            if isinstance(g, Not):
+                # supported negation shapes: Term or Or-of-Terms — the
+                # kernel's any-leaf-matches semantics map to a per-term
+                # anti-join.  (NOT of an And-group has no relational
+                # twin here; the kernel path still evaluates it.)
+                ch = g.child
+                leaves = ch.children if isinstance(ch, Or) else [ch]
+                if not all(isinstance(c, Term) for c in leaves):
+                    raise NotImplementedError(
+                        "relational referee supports NOT only over a "
+                        "term / multifield term group"
+                    )
+                for t in leaves:
+                    neg_rows.append((qid, t.field, t.text))
+            else:
+                if group != "AND" and any(
+                    isinstance(t, Not) for t in getattr(g, "children", [])
+                ):
+                    raise NotImplementedError(
+                        "relational referee: NOT inside an OR group"
+                    )
+                pos_groups.append(g)
+        n_groups[qid] = len(pos_groups) if group == "AND" else 1
+        for gi, g in enumerate(pos_groups):
             for t in tree_terms(g):
                 fan_rows.append((qid, gi, t.field, t.text, float(t.boost)))
     fan = spark.createDataFrame(
@@ -776,6 +879,15 @@ def search_batch_relational(
     )
     if group == "AND":
         scored = scored.where(F.col("g_matched") == F.col("n_groups"))
+    if neg_rows:
+        negfan = spark.createDataFrame(
+            neg_rows, "query_id int, field string, term string"
+        )
+        excl = (
+            tf.join(F.broadcast(negfan), ["field", "term"])
+            .select("query_id", "doc_id").distinct()
+        )
+        scored = scored.join(excl, ["query_id", "doc_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -815,7 +927,7 @@ def search_many_broadcast(
         if q in specs:
             continue
         tree, _ = parse_query(q, group=group, expand=False,
-                              analyzers=index.analyzers)
+                              analyzers=index.analyzers, index=index)
         specs[q] = _tree_spec(tree)
         for t in tree_terms(tree) if tree is not None else []:
             keys.add((t.field, t.text))
@@ -870,6 +982,8 @@ def _tree_spec(node):
         return None
     if isinstance(node, Term):
         return ("t", node.field, node.text, node.boost)
+    if isinstance(node, Not):
+        return ("n", _tree_spec(node.child))
     tag = "a" if isinstance(node, And) else "o"
     return (tag, [_tree_spec(c) for c in node.children])
 
@@ -879,5 +993,7 @@ def _tree_from_spec(spec):
         return None
     if spec[0] == "t":
         return Term(spec[1], spec[2], spec[3])
+    if spec[0] == "n":
+        return Not(_tree_from_spec(spec[1]))
     children = [_tree_from_spec(c) for c in spec[1]]
     return And(children) if spec[0] == "a" else Or(children)

@@ -105,10 +105,14 @@ class OracleIndex:
 
     def eval_node(self, node, doc, model):
         """→ (matches: bool, score: float); node = ('t',f,term,boost) |
-        ('a',[...]) | ('o',[...]) — same spec as the engine's trees."""
+        ('a',[...]) | ('o',[...]) | ('n',child) — same spec as the
+        engine's trees (plans.query._tree_spec)."""
         if node[0] == "t":
             s = self.leaf_score(node[1], node[2], doc, node[3], model)
             return (s is not None), (s or 0.0)
+        if node[0] == "n":
+            m, _ = self.eval_node(node[1], doc, model)
+            return (not m), 0.0
         if node[0] == "a":
             total = 0.0
             for c in node[1]:
@@ -129,7 +133,12 @@ class OracleIndex:
     def node_candidates(self, node):
         if node[0] == "t":
             return set(self.postings.get((node[1], node[2]), {}))
-        sets = [self.node_candidates(c) for c in node[1]]
+        if node[0] == "n":
+            # candidates come from positive siblings only (mirrors the
+            # engine: a negation cannot seed; eval_node still filters)
+            return set()
+        sets = [self.node_candidates(c) for c in node[1]
+                if c[0] != "n"]
         if not sets:
             return set()
         if node[0] == "a":
