@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_wikipedia_spark.functions.textproc import STOP_WORDS
-from search_engine_wikipedia_spark.operators import ann, textpipe as tp
+from search_engine_wikipedia_spark.operators import ann, components, textpipe as tp
 
 # ---------------------------------------------------------------------------
 # Shared constants — identical in both engines
@@ -607,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tp.minhash_signatures(_docs(s, d))),
         "ngram_jaccard_pairs": lambda s, d: tp.ngram_jaccard_pairs(
             _docs(s, d)),
+        "dedup_components": lambda s, d: components.dedup_components(
+            _docs(s, d)),
         "simhash32": lambda s, d: tp.simhash32(_docs(s, d)),
         # text analysis
         "quality_scores": lambda s, d: tp.quality_scores(_docs(s, d)),
@@ -709,6 +711,34 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y
      ON x.band = y.band AND x.band_key = y.band_key
 WHERE x.doc_id < y.doc_id""",
+        "dedup_components": f"""
+WITH RECURSIVE {SHINGLE_CTE}, {SIG_CTE},
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+       ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+sym AS (SELECT a AS u, b AS v FROM pairs
+        UNION SELECT b, a FROM pairs),
+walk(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
+  WHERE s.v <> w.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         FROM walk GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INTEGER)
+       AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)""",
         "ngram_jaccard_pairs": f"""
 WITH {SHINGLE_CTE},
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
