@@ -61,6 +61,37 @@ def spark_submit(script: str, cores: int, extra: list[str],
 
 
 
+def spin_probe(cores_high: int, secs: float = 3.0) -> dict:
+    """Pure-CPU throttle probe: per-core spin rate at 1 thread vs
+    ``cores_high`` pinned threads.  A ratio ≥0.9 means the window is
+    clean enough that job-scaling numbers measure OUR code, not the
+    host's burst-credit throttling (this box swings 3-4× across
+    minutes when credits deplete)."""
+    import multiprocessing as mp
+
+    def spin(q, dur):
+        end = time.perf_counter() + dur
+        n = 0
+        while time.perf_counter() < end:
+            for _ in range(10000):
+                n += 1
+        q.put(n)
+
+    def rate(nproc):
+        q = mp.Queue()
+        ps = [mp.Process(target=spin, args=(q, secs)) for _ in range(nproc)]
+        for pr in ps:
+            pr.start()
+        for pr in ps:
+            pr.join()
+        return sum(q.get() for _ in ps) / secs / nproc
+
+    r1 = rate(1)
+    rn = rate(cores_high)
+    return {"threads": cores_high, "per_core_ratio": round(rn / r1, 3),
+            "rate_1": round(r1), "rate_n": round(rn)}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n-docs", type=int,
@@ -76,13 +107,23 @@ def main() -> None:
     p.add_argument("--runs", type=int, default=2,
                    help="runs per (job, level); best kept")
     p.add_argument("--workdir", default="/dev/shm/sewiki_scaling")
+    p.add_argument("--jobs", default="build,query",
+                   help="comma subset of build,query (e.g. build-only "
+                        "re-runs with long walls)")
+    p.add_argument("--md-out", default="BENCH_SCALING.md",
+                   help="markdown report path relative to the repo "
+                        "root (BENCH.md itself is hand-curated)")
     args = p.parse_args()
+    jobs = [j for j in ("build", "query") if j in args.jobs.split(",")]
 
     os.makedirs(args.workdir, exist_ok=True)
     corpus = os.path.join(args.workdir, f"pages_{args.n_docs}")
     results: dict = {"n_docs": args.n_docs,
                      "cores": [args.cores_low, args.cores_high],
-                     "build": {}, "query": {}}
+                     "jobs": jobs, "build": {}, "query": {}}
+    print("spin probe (pre-bench)…", file=sys.stderr, flush=True)
+    results["spin_probe_pre"] = spin_probe(args.cores_high)
+    print(f"  {results['spin_probe_pre']}", file=sys.stderr, flush=True)
 
     # corpus generated once, outside the timed window
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
@@ -112,26 +153,34 @@ spark.stop()
     # minutes, and measuring one level entirely before the other would
     # compare different machines.  Best-of-N per level then cancels the
     # throttled epochs out.
-    raw: dict = {(j, c): [] for j in ("build", "query")
+    raw: dict = {(j, c): [] for j in jobs
                  for c in (args.cores_low, args.cores_high)}
     for i in range(args.runs):
         for cores in (args.cores_low, args.cores_high):
             idx = os.path.join(args.workdir, f"idx_{args.n_docs}_{cores}")
-            shutil.rmtree(idx, ignore_errors=True)
-            print(f"== build @ local[{cores}] run {i} ==",
-                  file=sys.stderr, flush=True)
-            raw[("build", cores)].append(spark_submit(
-                os.path.join(REPO, "jobs", "build_index.py"), cores,
-                ["--input", corpus, "--index-dir", idx, "--no-resume"],
-                os.path.join(args.workdir, f"build_{cores}_{i}.json"),
-            ))
-            print(f"== query @ local[{cores}] run {i} ==",
-                  file=sys.stderr, flush=True)
-            raw[("query", cores)].append(spark_submit(
-                os.path.join(REPO, "jobs", "run_queries.py"), cores,
-                ["--index-dir", idx, "--repeat", str(args.repeat_queries)],
-                os.path.join(args.workdir, f"query_{cores}_{i}.json"),
-            ))
+            if "build" in jobs:
+                shutil.rmtree(idx, ignore_errors=True)
+                print(f"== build @ local[{cores}] run {i} ==",
+                      file=sys.stderr, flush=True)
+                raw[("build", cores)].append(spark_submit(
+                    os.path.join(REPO, "jobs", "build_index.py"), cores,
+                    ["--input", corpus, "--index-dir", idx, "--no-resume"],
+                    os.path.join(args.workdir, f"build_{cores}_{i}.json"),
+                ))
+            if "query" in jobs:
+                if not os.path.exists(idx):
+                    raise SystemExit(f"query-only mode but {idx} missing")
+                print(f"== query @ local[{cores}] run {i} ==",
+                      file=sys.stderr, flush=True)
+                raw[("query", cores)].append(spark_submit(
+                    os.path.join(REPO, "jobs", "run_queries.py"), cores,
+                    ["--index-dir", idx,
+                     "--repeat", str(args.repeat_queries)],
+                    os.path.join(args.workdir, f"query_{cores}_{i}.json"),
+                ))
+    print("spin probe (post-bench)…", file=sys.stderr, flush=True)
+    results["spin_probe_post"] = spin_probe(args.cores_high)
+    print(f"  {results['spin_probe_post']}", file=sys.stderr, flush=True)
     for (job, cores), runs in raw.items():
         key = "docs_per_sec" if job == "build" else "queries_per_sec"
         best = max(runs, key=lambda m: m[key])
@@ -142,64 +191,61 @@ spark.stop()
 
     ratio = args.cores_high / args.cores_low
     lo, hi = args.cores_low, args.cores_high
-    b_eff = (results["build"][hi]["docs_per_sec"]
-             / results["build"][lo]["docs_per_sec"]) / ratio
-    q_eff = (results["query"][hi]["queries_per_sec"]
-             / results["query"][lo]["queries_per_sec"]) / ratio
-    results["build_scaling_efficiency"] = round(b_eff, 3)
-    results["query_scaling_efficiency"] = round(q_eff, 3)
-
-    # per-interleaved-pair efficiencies (run i low vs run i high): the
-    # honest spread, not just best-of — every pair must clear the bar
-    def pair_effs(job, key):
-        lo_runs = raw[(job, args.cores_low)]
-        hi_runs = raw[(job, args.cores_high)]
-        return [
+    keys = {"build": "docs_per_sec", "query": "queries_per_sec"}
+    for job in jobs:
+        key = keys[job]
+        eff = (results[job][hi][key] / results[job][lo][key]) / ratio
+        results[f"{job}_scaling_efficiency"] = round(eff, 3)
+        # per-interleaved-pair efficiencies (run i low vs run i high):
+        # the honest spread, not just best-of — every pair should clear
+        # the bar in a clean window
+        results[f"{job}_pair_efficiencies"] = [
             round((h[key] / l[key]) / ratio, 3)
-            for l, h in zip(lo_runs, hi_runs)
+            for l, h in zip(raw[(job, lo)], raw[(job, hi)])
         ]
-
-    results["build_pair_efficiencies"] = pair_effs("build", "docs_per_sec")
-    results["query_pair_efficiencies"] = pair_effs("query",
-                                                   "queries_per_sec")
 
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(results, f, indent=1)
 
-    md = f"""# BENCH — measured numbers (single-node sandbox)
-
-Scaling evidence for the north rule ("throughput scaling efficiency
-≥0.8 from N to 4N executors"), run as the SAME spark-submit jobs at
-`local[{lo}]` vs `local[{hi}]` on identical input (no real cluster in
-this sandbox): {args.n_docs:,} synthetic wikitext pages
-(deterministic, `search_engine_wikipedia_spark.synth`).
-
-| job | metric | local[{lo}] | local[{hi}] | efficiency ({lo}→{hi} cores) |
-|---|---|---|---|---|
-| index build (`jobs/build_index.py`) | docs/sec | {results['build'][lo]['docs_per_sec']:,} | {results['build'][hi]['docs_per_sec']:,} | **{b_eff:.3f}** |
-| query batch (`jobs/run_queries.py`, {30*args.repeat_queries} BM25 top-10 WAND queries) | queries/sec | {results['query'][lo]['queries_per_sec']} | {results['query'][hi]['queries_per_sec']} | **{q_eff:.3f}** |
-
-Build wall: {results['build'][lo]['wall_sec']}s @{lo} → {results['build'][hi]['wall_sec']}s @{hi}.
-Query wall: {results['query'][lo]['wall_sec']}s @{lo} → {results['query'][hi]['wall_sec']}s @{hi}.
-
-Per-interleaved-pair efficiencies (run i @{lo} vs run i @{hi} — the
-full spread, not just best-of): build {results['build_pair_efficiencies']},
-query {results['query_pair_efficiencies']}.  The ≥0.8 bar is met iff
-EVERY query pair clears it; a build pair >1.0 indicates a host
-burst-credit throttle epoch hit the low-parallelism run (the box
-throttles 3-4× across minutes) and should be read as noise, not
-super-linearity.
-
-Per-stage build seconds @{hi} cores: {json.dumps(results['build'][hi]['stages'])}
-
-Raw JSON: `BENCH_SCALING.json`.  Headline per-round bench: `bench.py`
-(driver-run, sf0.1 documents table → `BENCH_r{{N}}.json`).
-"""
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    lines = [
+        "# BENCH_SCALING — latest scaling-bench run (machine-written)",
+        "",
+        f"{args.n_docs:,} synthetic wikitext pages, `local[{lo}]` vs "
+        f"`local[{hi}]`, {args.runs} interleaved runs per level; "
+        "curated cross-round evidence lives in `BENCH.md`.",
+        "",
+        f"Spin probe (pure-CPU per-core rate, {hi} threads vs 1): "
+        f"pre {results['spin_probe_pre']['per_core_ratio']}, "
+        f"post {results['spin_probe_post']['per_core_ratio']} "
+        "(≥0.9 = clean window).",
+        "",
+        f"| job | metric | local[{lo}] | local[{hi}] | best-of eff | "
+        "pair effs |",
+        "|---|---|---|---|---|---|",
+    ]
+    walls = []
+    for job in jobs:
+        key = keys[job]
+        lines.append(
+            f"| {job} | {key} | {results[job][lo][key]:,} | "
+            f"{results[job][hi][key]:,} | "
+            f"**{results[f'{job}_scaling_efficiency']:.3f}** | "
+            f"{results[f'{job}_pair_efficiencies']} |"
+        )
+        walls.append(
+            f"{job} wall: {results[job][lo]['wall_sec']}s @{lo} → "
+            f"{results[job][hi]['wall_sec']}s @{hi}."
+        )
+    lines += [""] + walls
+    if "build" in jobs:
+        lines += ["", f"Per-stage build seconds @{hi} cores: "
+                      f"{json.dumps(results['build'][hi]['stages'])}"]
+    lines += ["", "Raw JSON: `BENCH_SCALING.json`."]
+    with open(os.path.join(REPO, args.md_out), "w") as f:
+        f.write("\n".join(lines) + "\n")
     print(json.dumps({
-        "build_scaling_efficiency": results["build_scaling_efficiency"],
-        "query_scaling_efficiency": results["query_scaling_efficiency"],
+        f"{job}_scaling_efficiency": results[f"{job}_scaling_efficiency"]
+        for job in jobs
     }))
 
 
