@@ -92,6 +92,29 @@ def spin_probe(cores_high: int, secs: float = 3.0) -> dict:
             "rate_1": round(r1), "rate_n": round(rn)}
 
 
+def wait_for_clean_window(cores_high: int, min_ratio: float = 0.9,
+                          max_wait: float = 1500.0) -> dict:
+    """Block until the spin probe reports a clean window (per-core
+    ratio ≥ ``min_ratio``) or ``max_wait`` elapses.
+
+    Back-to-back interleaving is NOT enough on this host: a 20-minute
+    full-tilt low-parallelism run drains the burst-credit bucket right
+    before every high-parallelism run, systematically punishing the
+    high side.  Gating each timed run on a recovered probe gives both
+    sides the same starting credit state; the reading is recorded next
+    to the run it gated.
+    """
+    t0 = time.perf_counter()
+    while True:
+        pr = spin_probe(cores_high)
+        pr["waited_sec"] = round(time.perf_counter() - t0, 1)
+        if pr["per_core_ratio"] >= min_ratio or pr["waited_sec"] > max_wait:
+            return pr
+        print(f"  throttled window (ratio {pr['per_core_ratio']}) — "
+              "waiting 60s for credit refill", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n-docs", type=int,
@@ -160,24 +183,34 @@ spark.stop()
             idx = os.path.join(args.workdir, f"idx_{args.n_docs}_{cores}")
             if "build" in jobs:
                 shutil.rmtree(idx, ignore_errors=True)
-                print(f"== build @ local[{cores}] run {i} ==",
+                gate = wait_for_clean_window(args.cores_high)
+                print(f"== build @ local[{cores}] run {i} "
+                      f"(gate probe {gate['per_core_ratio']}, waited "
+                      f"{gate['waited_sec']}s) ==",
                       file=sys.stderr, flush=True)
-                raw[("build", cores)].append(spark_submit(
+                m = spark_submit(
                     os.path.join(REPO, "jobs", "build_index.py"), cores,
                     ["--input", corpus, "--index-dir", idx, "--no-resume"],
                     os.path.join(args.workdir, f"build_{cores}_{i}.json"),
-                ))
+                )
+                m["gate_probe"] = gate
+                raw[("build", cores)].append(m)
             if "query" in jobs:
                 if not os.path.exists(idx):
                     raise SystemExit(f"query-only mode but {idx} missing")
-                print(f"== query @ local[{cores}] run {i} ==",
+                gate = wait_for_clean_window(args.cores_high)
+                print(f"== query @ local[{cores}] run {i} "
+                      f"(gate probe {gate['per_core_ratio']}, waited "
+                      f"{gate['waited_sec']}s) ==",
                       file=sys.stderr, flush=True)
-                raw[("query", cores)].append(spark_submit(
+                m = spark_submit(
                     os.path.join(REPO, "jobs", "run_queries.py"), cores,
                     ["--index-dir", idx,
                      "--repeat", str(args.repeat_queries)],
                     os.path.join(args.workdir, f"query_{cores}_{i}.json"),
-                ))
+                )
+                m["gate_probe"] = gate
+                raw[("query", cores)].append(m)
     print("spin probe (post-bench)…", file=sys.stderr, flush=True)
     results["spin_probe_post"] = spin_probe(args.cores_high)
     print(f"  {results['spin_probe_post']}", file=sys.stderr, flush=True)
@@ -185,7 +218,9 @@ spark.stop()
         key = "docs_per_sec" if job == "build" else "queries_per_sec"
         best = max(runs, key=lambda m: m[key])
         best["all_runs"] = [
-            {"wall_sec": m["wall_sec"], key: m[key]} for m in runs
+            {"wall_sec": m["wall_sec"], key: m[key],
+             "gate_ratio": m.get("gate_probe", {}).get("per_core_ratio")}
+            for m in runs
         ]
         results[job][cores] = best
 
