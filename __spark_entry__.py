@@ -314,6 +314,36 @@ sig AS (
 )
 """
 
+# MinHash-LSH pairs → connected components (transitive closure), used
+# by the dedup_components / dedup_keep_best oracles
+COMP_CTES = """
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+       ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+sym AS (SELECT a AS u, b AS v FROM pairs
+        UNION SELECT b, a FROM pairs),
+walk(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
+  WHERE s.v <> w.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         FROM walk GROUP BY u),
+labels AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Engine (WAND) path — cached index build over documents-as-pages
@@ -609,6 +639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)),
         "dedup_components": lambda s, d: components.dedup_components(
             _docs(s, d)),
+        "dedup_keep_best": lambda s, d: components.dedup_keep_best(
+            _docs(s, d)),
+        "train_split": lambda s, d: tp.train_split(_docs(s, d)),
         "simhash32": lambda s, d: tp.simhash32(_docs(s, d)),
         # text analysis
         "quality_scores": lambda s, d: tp.quality_scores(_docs(s, d)),
@@ -712,33 +745,43 @@ FROM bands x JOIN bands y
      ON x.band = y.band AND x.band_key = y.band_key
 WHERE x.doc_id < y.doc_id""",
         "dedup_components": f"""
-WITH RECURSIVE {SHINGLE_CTE}, {SIG_CTE},
-bands AS (
-  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY doc_id, seed // 4
-),
-pairs AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
-       ON x.band = y.band AND x.band_key = y.band_key
-  WHERE x.doc_id < y.doc_id
-),
-sym AS (SELECT a AS u, b AS v FROM pairs
-        UNION SELECT b, a FROM pairs),
-walk(u, v) AS (
-  SELECT u, v FROM sym
-  UNION
-  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
-  WHERE s.v <> w.u
-),
-comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
-         FROM walk GROUP BY u)
-SELECT d.doc_id,
-       coalesce(c.component, d.doc_id) AS component,
-       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INTEGER)
-       AS is_canonical
-FROM documents d LEFT JOIN comp c USING (doc_id)""",
+WITH RECURSIVE {SHINGLE_CTE}, {SIG_CTE}, {COMP_CTES}
+SELECT doc_id, component,
+       CAST(doc_id = component AS INTEGER) AS is_canonical
+FROM labels""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE {SHINGLE_CTE}, {SIG_CTE}, {COMP_CTES},
+qm AS (
+  SELECT doc_id,
+         round(0.5*alpha + 0.3*least(1.0, n_raw/100.0)
+               + 0.2*(1.0 - abs(CAST(n_raw - n_filtered AS DOUBLE)
+                                / greatest(n_raw, 1) - 0.3)), 6)
+         AS quality
+  FROM (
+    SELECT doc_id,
+           len(list_filter(raw, t -> length(t) >= 2
+               AND NOT list_contains({STOP_LIST_SQL}, t))) AS n_filtered,
+           len(raw) AS n_raw,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / greatest(length(text), 1) AS alpha
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '{TOKEN_RE}') AS raw
+          FROM documents))
+)
+SELECT l.doc_id, l.component,
+       CAST(row_number() OVER (PARTITION BY l.component
+                               ORDER BY qm.quality DESC, l.doc_id)
+            = 1 AS INTEGER) AS keep
+FROM labels l JOIN qm ON qm.doc_id = l.doc_id""",
+        "train_split": """
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id || ':v1'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+      FROM documents)""",
         "ngram_jaccard_pairs": f"""
 WITH {SHINGLE_CTE},
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh

@@ -97,7 +97,8 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     for name in (
         "tokenize_tf", "term_stats", "bm25_and_topk", "batch_topk",
         "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
-        "ngram_jaccard_pairs", "simhash32", "quality_scores", "lang_id",
+        "ngram_jaccard_pairs", "simhash32", "dedup_components",
+        "train_split", "quality_scores", "lang_id",
         "token_counts", "doc_fingerprints", "ann_cosine_topk",
         "ann_ivf_topk", "ann_ivf_trained", "multimodal_features",
         "resolve_edges", "pagerank_5iter",

@@ -21,9 +21,9 @@ celebrity node with millions of candidate neighbors cannot OOM a task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["connected_components", "dedup_components"]
+__all__ = ["connected_components", "dedup_components", "dedup_keep_best"]
 
 _MAX_ROUNDS = 50  # >> log^2 of any conceivable component count
 
@@ -151,3 +151,38 @@ def dedup_components(documents: DataFrame, n_hashes: int = 16,
         )
     )
     return out
+
+
+def dedup_keep_best(documents: DataFrame, n_hashes: int = 16,
+                    shingle_n: int = 3, rows_per_band: int = 4
+                    ) -> DataFrame:
+    """(doc_id, component, keep) — near-dup clusters with QUALITY-based
+    survivor selection: within each cluster keep the highest
+    ``quality_scores`` document (ties → lowest doc_id), not just the
+    lowest id.  This is the dedup policy an LLM-training pipeline
+    actually wants: when a page exists as both a clean original and a
+    boilerplate-wrapped mirror, min-id keeps whichever crawled first;
+    quality-keep retains the cleaner text.
+
+    Plan: cluster labels (see ``dedup_components``) broadcast onto the
+    quality table, then one row_number window PER COMPONENT — cluster
+    sizes are banding collisions, so the window partitions are tiny and
+    the shuffle is on the (small) component key space.
+    """
+    from . import textpipe
+
+    comp = dedup_components(
+        documents, n_hashes=n_hashes, shingle_n=shingle_n,
+        rows_per_band=rows_per_band,
+    ).select("doc_id", "component")
+    quality = textpipe.quality_scores(documents).select(
+        "doc_id", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        quality.join(F.broadcast(comp), "doc_id")
+        .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+        .select("doc_id", "component", "keep")
+    )

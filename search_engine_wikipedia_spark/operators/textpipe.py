@@ -441,6 +441,42 @@ def pagerank_iterations(documents: DataFrame, edges: DataFrame,
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
+def train_split(documents: DataFrame,
+                weights: tuple = (("train", 0.9), ("val", 0.05),
+                                  ("test", 0.05)),
+                salt: str = "v1") -> DataFrame:
+    """(doc_id, split) deterministic hash-based train/val/test split.
+
+    The split a 100 TB training pipeline needs: STABLE under
+    re-partitioning, re-ingestion and cluster-size changes (no
+    rand()/sample(), which reshuffle membership every run), keyed only
+    on (doc_id, salt).  ``u = first 8 md5 hex digits / 2^32`` is
+    uniform on [0, 1); a doc lands in the first label whose cumulative
+    weight exceeds its u.  Pure narrow map — zero shuffles, whole-stage
+    codegen, trivially reproducible in any other engine (the DuckDB
+    oracle recomputes it bit-for-bit).  Changing ``salt`` produces an
+    independent re-split; keeping it pins membership forever.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":" + salt))), 1, 8),
+            16, 10,
+        ).cast("long") / F.lit(float(2 ** 32))
+    )
+    total = sum(w for _, w in weights)
+    expr = F.lit(weights[-1][0])
+    acc = 0.0
+    cuts = []
+    for label, w in weights[:-1]:
+        acc += w / total
+        cuts.append((label, acc))
+    for label, cut in reversed(cuts):
+        expr = F.when(u < F.lit(cut), F.lit(label)).otherwise(expr)
+    return documents.select("doc_id", expr.alias("split"))
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """(doc_id, content_hash, is_dup) — exact dedup via hash groupBy.
 

@@ -157,3 +157,23 @@ def test_search_batch_prunes_scan_and_parallelizes_kernels(spark,
     # (user-specified, AQE-coalesce-exempt), not an implicit agg exchange
     assert "REPARTITION_BY_COL" in plan_of(res).replace(
         "REPARTITION_BY_NUM", "REPARTITION_BY_COL"), p[:1200]
+
+
+def test_train_split_is_pure_narrow_map(docs):
+    """Hash-split = zero shuffles and only (doc_id) read from parquet."""
+    p = plan_of(tp.train_split(docs))
+    assert "Exchange" not in p, p[:500]
+    rs = p.split("ReadSchema")[1][:120]
+    assert "doc_id" in rs and "text" not in rs, rs
+
+
+def test_dedup_components_broadcasts_labels(docs):
+    """The cluster-label join back onto the corpus must be a broadcast
+    (the big side never shuffles), and the corpus scan must read only
+    doc_id."""
+    from search_engine_wikipedia_spark.operators import components as C
+
+    p = plan_of(C.dedup_components(docs))
+    assert "BroadcastHashJoin" in p, p[:800]
+    rs = p.split("ReadSchema")[1][:120]
+    assert "text" not in rs, rs

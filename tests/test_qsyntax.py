@@ -248,3 +248,45 @@ def test_relational_referee_rejects_not_of_group(sidx):
     with pytest.raises(NotImplementedError):
         search_batch_relational(idx, ["NOT (Roman Empire) Tuscany"],
                                 limit=10)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: the parser must never crash on arbitrary user input — the only
+# permitted exception is the documented QuerySyntaxError (phrases,
+# wildcard-without-index), and any returned tree must be well-formed.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _well_formed(node):
+    if node is None or isinstance(node, Term):
+        return True
+    if isinstance(node, Not):
+        return _well_formed(node.child)
+    if isinstance(node, (And, Or)):
+        return len(node.children) > 0 and all(
+            _well_formed(c) for c in node.children
+        )
+    return False
+
+
+_QUERY_ALPHABET = st.sampled_from(
+    list("ab OR()AND NOT*?^:\"'0.5") + ["title:", "rome^2", "euro*"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_QUERY_ALPHABET, max_size=12).map("".join),
+       st.sampled_from(["AND", "OR"]))
+def test_parser_never_crashes(text, group):
+    def leaf(word):
+        if word.is_pattern:
+            raise qs.QuerySyntaxError("no index in fuzz harness")
+        return Term(word.field or "text", word.text.lower(), word.boost)
+
+    try:
+        tree = qs.parse_syntax(text, group, leaf)
+    except qs.QuerySyntaxError:
+        return
+    assert _well_formed(tree)
