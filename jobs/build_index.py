@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", help="pages parquet/Iceberg path")
+    p.add_argument("--input", help="pages parquet path")
+    p.add_argument("--input-table",
+                   help="pages as a catalog table name (Iceberg/Hive/"
+                        "view) — resolved via spark.table()")
     p.add_argument("--synth", type=int, default=0,
                    help="generate N synthetic pages instead of --input")
     p.add_argument("--index-dir", required=True)
@@ -56,6 +59,8 @@ def main() -> None:
     if args.synth:
         pages = synth.generate_pages_df(spark, args.synth,
                                         n_partitions=max(par, 8))
+    elif args.input_table:
+        pages = spark.table(args.input_table)
     else:
         pages = spark.read.parquet(args.input)
 
@@ -72,6 +77,12 @@ def main() -> None:
         builder.metrics["pagerank"] = time.perf_counter() - t_pr
     wall = time.perf_counter() - t0
 
+    # per-partition metrics → manifests table + skew summary in the
+    # JSON line (footer reads only; outside the timed window)
+    from search_engine_wikipedia_spark.operators import metrics as M
+
+    M.emit_partition_metrics(spark, args.index_dir,
+                             ["docs", "postings"])
     n_docs = builder.n_docs
     out = {
         "job": "build_index",
@@ -80,6 +91,7 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2),
         "stages": {k: round(v, 3) for k, v in builder.metrics.items()},
+        "postings_skew": M.skew_report(args.index_dir, "postings"),
     }
     line = json.dumps(out)
     if args.metrics_out == "-":

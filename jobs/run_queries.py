@@ -31,6 +31,9 @@ def main() -> None:
     p.add_argument("--expand", action="store_true")
     p.add_argument("--or-group", action="store_true")
     p.add_argument("--metrics-out", default="-")
+    p.add_argument("--partition-stats", action="store_true",
+                   help="also emit per-partition queries/sec (untimed "
+                        "extra pass over the base query set)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -89,6 +92,14 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "queries_per_sec": round(len(queries) / wall, 2),
     }
+    if args.partition_stats:
+        # outside the timed window: per-partition queries/sec (north
+        # rule), over one untimed pass of the reference set
+        from search_engine_wikipedia_spark.plans.query import (
+            serving_partition_stats,
+        )
+        out["partition_stats"] = serving_partition_stats(
+            idx, base, limit=args.limit, group=group)
     line = json.dumps(out)
     if args.metrics_out == "-":
         print(line, flush=True)

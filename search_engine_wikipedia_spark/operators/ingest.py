@@ -24,6 +24,14 @@ only doc_id ASSIGNMENT differs (arrival order vs global url rank),
 which affects nothing but tie-breaks among equal-scored docs
 (`tests/test_ingest.py` asserts score-level equivalence by url).
 
+Deletes complete the lifecycle (``delete_urls`` / ``compact``):
+tombstoned docs stop matching every query path immediately while
+global stats keep counting them (Lucene live-docs semantics — survivor
+scores unchanged); ``compact`` physically removes them, re-encoding
+only the touched segments and re-merging only the touched tbucket
+partitions, after which the index is statistically identical to a
+fresh build over the survivors.
+
 ``stream_ingest`` runs the same append per micro-batch via
 ``writeStream.foreachBatch``.  Exactly-once per epoch comes from the
 append JOURNAL (``_INGEST.json``): every table append journals the
@@ -204,6 +212,8 @@ def append_pages(
     so a foreachBatch epoch replay re-applies the batch in full instead
     of silently no-opping on the already-appended docs.
     """
+    _finish_swaps(root)
+    _resume_pending_compact(spark, root, shard_size)
     recover_incomplete(spark, root, shard_size=shard_size)
     docs_tbl = catalog.read_table(spark, root, "docs")
     stats = docs_tbl.agg(
@@ -297,7 +307,8 @@ def append_pages(
 
 def remerge(spark: SparkSession, root: str, shard_size: int = 1_000_000,
             n_term_buckets: int | None = None,
-            delta_seg: int | None = None) -> None:
+            delta_seg: int | None = None,
+            buckets: list[int] | None = None) -> None:
     """Re-merge segments into the global postings table.
 
     ``delta_seg=None`` → FULL merge over all segments: the build's own
@@ -316,7 +327,16 @@ def remerge(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     n_term_buckets × index) instead of O(index): with buckets sized to
     the vocabulary (4096+ at 100 TB), a 1% crawl delta rewrites a few
     % of postings files instead of all of them.
+
+    ``buckets`` set (compaction path) → tiered merge of exactly those
+    tbucket partitions, regardless of segment; a listed bucket whose
+    terms ALL vanished (no surviving segment rows hash into it) has its
+    partition directory dropped explicitly, since dynamic overwrite
+    only replaces partitions present in the new data.
     """
+    import os
+    import shutil
+
     seg = catalog.read_table(spark, root, "postings_seg")
     n_total = int(seg.agg(F.max("seg_id")).collect()[0][0]) + 1
     if n_term_buckets is None:
@@ -324,7 +344,7 @@ def remerge(spark: SparkSession, root: str, shard_size: int = 1_000_000,
             catalog.read_schema_meta(root).get("n_term_buckets")
             or N_TERM_BUCKETS
         )
-    if delta_seg is None:
+    if delta_seg is None and buckets is None:
         merge_postings_stage(spark, root, n_total, shard_size=shard_size,
                              n_term_buckets=n_term_buckets)
         return
@@ -332,31 +352,311 @@ def remerge(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     from .build import merge_segments, with_term_bucket
 
     bucket_col = F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
-    # ≤ n_term_buckets ints — bounded driver traffic at any scale
-    buckets = sorted(
-        r["b"] for r in seg.where(F.col("seg_id") == delta_seg)
-        .select(bucket_col.alias("b")).distinct().collect()
-    )
-    if not buckets:  # delta had docs but no indexable terms
-        return
-    filtered = seg.where(bucket_col.isin(buckets))
-    merged = merge_segments(filtered, n_total, shard_size=shard_size)
-    merged = with_term_bucket(merged, n_term_buckets)
-    merged = merged.repartition(len(buckets), "tbucket")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (merged.write.mode("overwrite").partitionBy("tbucket")
-         .parquet(catalog.table_path(root, "postings")))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    catalog.commit(catalog.table_path(root, "postings"))
+    if buckets is None:
+        # ≤ n_term_buckets ints — bounded driver traffic at any scale
+        buckets = sorted(
+            r["b"] for r in seg.where(F.col("seg_id") == delta_seg)
+            .select(bucket_col.alias("b")).distinct().collect()
+        )
+        if not buckets:  # delta had docs but no indexable terms
+            return
+        # an append's buckets contain the delta's own rows by
+        # construction — every one is live, no probe scan needed
+        live = set(buckets)
+    else:
+        if not buckets:
+            return
+        # compaction: a bucket whose terms all died has no surviving
+        # rows — probe which listed buckets still hold anything
+        live = {
+            r["b"] for r in seg.where(bucket_col.isin(buckets))
+            .select(bucket_col.alias("b")).distinct().collect()
+        }
+    post_root = catalog.table_path(root, "postings")
+    for b in buckets:
+        if b not in live:
+            shutil.rmtree(os.path.join(post_root, f"tbucket={b}"),
+                          ignore_errors=True)
+    if live:
+        merged = merge_segments(
+            seg.where(bucket_col.isin(sorted(live))), n_total,
+            shard_size=shard_size)
+        merged = with_term_bucket(merged, n_term_buckets)
+        merged = merged.repartition(len(live), "tbucket")
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.mode("overwrite").partitionBy("tbucket")
+             .parquet(post_root))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    catalog.commit(post_root)
     catalog.append_lineage(spark, root, [{
         "stage": "postings_tiered",
         "seg_id": delta_seg,
         "n_terms": len(buckets),  # buckets rewritten, not total terms
     }])
+
+
+# ---------------------------------------------------------------------------
+# Deletes: tombstones + compaction (Lucene live-docs semantics)
+# ---------------------------------------------------------------------------
+_COMPACT_JOURNAL = "_COMPACT.json"
+
+
+def _resume_pending_compact(spark: SparkSession, root: str,
+                            shard_size: int) -> None:
+    """A crashed compact leaves filtered stats tables but stale
+    postings; any maintenance op entering before the re-run must finish
+    it first or its own tiered merge would fold dead docs back in."""
+    import os
+
+    if os.path.exists(os.path.join(root, _COMPACT_JOURNAL)):
+        compact(spark, root, shard_size=shard_size)
+
+
+def _finish_swaps(root: str) -> None:
+    """Complete a table swap interrupted by a crash.
+
+    ``_rewrite_table`` renames ``<name>.__tmp`` over ``<name>``; the
+    only loss window is after the old dir is removed and before the
+    rename.  At entry of every maintenance op: a complete ``__tmp``
+    whose target is missing is renamed into place; any other ``__tmp``
+    is a pre-swap leftover and is deleted (its target is intact, and
+    the still-present tombstones table makes the whole compact re-run
+    idempotently)."""
+    import shutil
+
+    from pathlib import Path
+
+    for tmp in Path(root).glob("*.__tmp"):
+        target = Path(str(tmp)[: -len(".__tmp")])
+        if not target.exists() and (tmp / catalog.MANIFEST_NAME).exists():
+            tmp.rename(target)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rewrite_table(df: DataFrame, root: str, name: str,
+                   partition_by: list[str] | None = None) -> None:
+    """Replace table ``name`` with ``df`` via tmp-dir + rename swap.
+
+    Safe to read ``name`` inside ``df``'s plan (the write lands in a
+    different directory, so there is no Spark self-overwrite hazard);
+    crash recovery is ``_finish_swaps``."""
+    import os
+    import shutil
+
+    tmp = catalog.table_path(root, name) + ".__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    catalog.commit(tmp)
+    final = catalog.table_path(root, name)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def delete_urls(spark: SparkSession, root: str, urls) -> int:
+    """Tombstone documents by url; returns how many were newly marked.
+
+    The reference engine has no deletes (each dump rebuilds,
+    index.py:87-153); a continuous-crawl index needs them for takedowns
+    and recrawls.  Semantics are Lucene's: a tombstoned doc stops
+    matching every query IMMEDIATELY (the WAND kernel and the
+    relational referee both drop it from candidate sets), while global
+    statistics keep counting it until ``compact`` — so survivor scores
+    are bit-identical before/after the delete, and become
+    fresh-build-identical after compaction.
+
+    ``urls`` is a list of strings or a DataFrame with a ``url`` column.
+    Unknown urls are ignored; re-deleting is a no-op (idempotent, so a
+    replayed batch cannot double-tombstone).
+    """
+    import os
+
+    _finish_swaps(root)
+    _resume_pending_compact(spark, root, 1_000_000)
+    recover_incomplete(spark, root)
+    docs_tbl = catalog.read_table(spark, root, "docs")
+    if isinstance(urls, DataFrame):
+        url_df = urls.select("url")
+    else:
+        url_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    victims = (
+        docs_tbl.join(F.broadcast(url_df.distinct()), "url")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "url")
+    )
+    tomb_path = catalog.table_path(root, "tombstones")
+    if os.path.exists(tomb_path):
+        victims = victims.join(
+            catalog.read_table(spark, root, "tombstones").select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    victims = victims.localCheckpoint(eager=True)
+    n = victims.count()
+    if n == 0:
+        return 0
+    journal: dict = {"before": {}, "steps": []}
+    _journaled_append(victims, root, "tombstones", journal)
+    os.remove(_journal_path(root))
+    return n
+
+
+def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
+            n_term_buckets: int | None = None) -> int:
+    """Physically remove tombstoned docs; returns the count removed.
+
+    After compaction the index is STATISTICALLY identical to a fresh
+    build over the surviving corpus — df/cf/N/avgfl are recomputed, so
+    every BM25 score matches the rebuild (``tests/test_delete.py``
+    asserts score equality by url); only doc_id assignment differs
+    (survivors keep their original ids — re-densifying would invalidate
+    the pagerank table and every external doc_id reference).
+
+    Scale shape: one pushed-filter anti-join pass over docs/doc_stats/
+    term_freqs (isin on the tombstone set, bounded by compaction
+    cadence), re-encode of only the SEGMENTS that contained deleted
+    docs, and a tiered re-merge of only the tbucket partitions holding
+    the deleted docs' terms — O(touched partitions), not O(index),
+    except when a mass delete genuinely touches everything.
+
+    Idempotent end-to-end: the affected segment/bucket sets are
+    journaled (``_COMPACT.json``) BEFORE any rewrite — recomputing them
+    afterwards would find nothing (the filtered term_freqs no longer
+    contains the dead docs) and leave postings stale — and the
+    tombstones table is dropped last, so a crash anywhere re-runs the
+    remaining steps on the next maintenance call; per-table swaps are
+    crash-safe via ``_finish_swaps``.
+    """
+    import json
+    import os
+    import shutil
+
+    _finish_swaps(root)
+    recover_incomplete(spark, root, shard_size=shard_size)
+    tomb_path = catalog.table_path(root, "tombstones")
+    jp = os.path.join(root, _COMPACT_JOURNAL)
+    if os.path.exists(jp):
+        # resuming a crashed compact: every affected-set below was
+        # computed against the PRE-rewrite tables — reuse it verbatim
+        with open(jp) as f:
+            j = json.load(f)
+        dead = j["dead"]
+        affected_segs = j["segs"]
+        affected_buckets = j["buckets"]
+        n_term_buckets = j["n_term_buckets"]
+    else:
+        if not os.path.exists(tomb_path):
+            return 0
+        dead = [int(r["doc_id"]) for r in catalog.read_table(
+            spark, root, "tombstones").select("doc_id").collect()]
+        if not dead:
+            catalog.drop_table(root, "tombstones")
+            return 0
+        if n_term_buckets is None:
+            n_term_buckets = (
+                catalog.read_schema_meta(root).get("n_term_buckets")
+                or N_TERM_BUCKETS
+            )
+        tf = catalog.read_table(spark, root, "term_freqs")
+        hit = tf.where(F.col("doc_id").isin(dead))
+        bucket_col = F.pmod(
+            F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
+        affected_segs = sorted(
+            r["seg_id"] for r in hit.select("seg_id").distinct().collect()
+        )
+        affected_buckets = sorted(
+            r["b"] for r in hit.select(bucket_col.alias("b"))
+            .distinct().collect()
+        )
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dead": dead, "segs": affected_segs,
+                       "buckets": affected_buckets,
+                       "n_term_buckets": n_term_buckets}, f)
+        os.replace(tmp, jp)
+
+    survivors = catalog.read_table(spark, root, "docs").where(
+        ~F.col("doc_id").isin(dead)
+    )
+    if survivors.limit(1).count() == 0:
+        raise ValueError(
+            "compact would delete the entire corpus; drop the index and "
+            "rebuild instead"
+        )
+    _rewrite_table(survivors, root, "docs")
+    _rewrite_table(
+        catalog.read_table(spark, root, "doc_stats")
+        .where(~F.col("doc_id").isin(dead)),
+        root, "doc_stats",
+    )
+    # re-read rather than reusing the affected-set scan's handle: on a
+    # journal resume that handle was never bound, and on a re-run the
+    # table may already be the filtered rewrite (the isin is a no-op)
+    tf = catalog.read_table(spark, root, "term_freqs")
+    _rewrite_table(tf.where(~F.col("doc_id").isin(dead)),
+                   root, "term_freqs")
+    catalog.write_table(
+        field_stats_from_doc_stats(
+            catalog.read_table(spark, root, "doc_stats")),
+        root, "field_stats",
+    )
+
+    # re-encode only the segments that lost docs; a segment whose docs
+    # all died gets its partition dir dropped explicitly (dynamic
+    # overwrite only replaces partitions PRESENT in the new data)
+    if affected_segs:
+        tf_new = catalog.read_table(spark, root, "term_freqs")
+        seg_rows = tf_new.where(F.col("seg_id").isin(affected_segs))
+        live_segs = {
+            r["seg_id"] for r in
+            seg_rows.select("seg_id").distinct().collect()
+        }
+        seg_root = catalog.table_path(root, "postings_seg")
+        for s in affected_segs:
+            if s not in live_segs:
+                shutil.rmtree(os.path.join(seg_root, f"seg_id={s}"),
+                              ignore_errors=True)
+        if live_segs:
+            seg_df = build_segments(seg_rows).repartition(
+                max(1, len(live_segs)), "seg_id")
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (seg_df.write.mode("overwrite").partitionBy("seg_id")
+                 .parquet(seg_root))
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+        catalog.commit(seg_root)
+        catalog.append_lineage(spark, root, [
+            {"stage": "compact_seg", "seg_id": int(s), "n_docs": len(dead)}
+            for s in affected_segs
+        ])
+
+    remerge(spark, root, shard_size=shard_size,
+            n_term_buckets=n_term_buckets, buckets=affected_buckets)
+
+    pr_path = catalog.table_path(root, "pagerank")
+    if os.path.exists(pr_path):
+        # drop deleted rows; survivor priors stay as built (the link
+        # graph prior is a build-time artifact, refreshed by the next
+        # pagerank job, not by compaction)
+        _rewrite_table(
+            catalog.read_table(spark, root, "pagerank")
+            .where(~F.col("doc_id").isin(dead)),
+            root, "pagerank",
+        )
+
+    catalog.drop_table(root, "tombstones")
+    os.remove(jp)
+    return len(dead)
 
 
 def stream_ingest(spark: SparkSession, root: str, stream_pages: DataFrame,

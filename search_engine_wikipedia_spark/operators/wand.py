@@ -281,11 +281,29 @@ class GlobalStats:
 
 
 class Scorer:
-    """Evaluates a bound query tree against global stats."""
+    """Evaluates a bound query tree against global stats.
 
-    def __init__(self, stats: GlobalStats, model: str = Weighting.BM25F):
+    ``exclude`` is an optional sorted int64 doc_id array of TOMBSTONED
+    documents (deleted since the last compaction): excluded docs are
+    dropped from every seed set before scoring, so they can never
+    appear in a top-k, while global stats (df/N/avgfl) intentionally
+    keep counting them until ``ingest.compact`` physically removes them
+    — Lucene's delete semantics, and the reason survivor scores are
+    bit-identical before vs after a delete."""
+
+    def __init__(self, stats: GlobalStats, model: str = Weighting.BM25F,
+                 exclude: np.ndarray | None = None):
         self.stats = stats
         self.model = model
+        self.exclude = (
+            np.asarray(exclude, dtype=np.int64)
+            if exclude is not None and len(exclude) else None
+        )
+
+    def _drop_excluded(self, docs: np.ndarray) -> np.ndarray:
+        if self.exclude is None or docs.size == 0:
+            return docs
+        return docs[~np.isin(docs, self.exclude, assume_unique=True)]
 
     # -- leaf helpers -------------------------------------------------------
     def _leaf_idf(self, t: Term) -> float:
@@ -470,7 +488,7 @@ class Scorer:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.float64), 0)
         if isinstance(node, Term) or isinstance(node, And):
-            cand = self._seed_docs(node)
+            cand = self._drop_excluded(self._seed_docs(node))
             m, s = self.score_at(node, cand)
             cand, s = cand[m], s[m]
             return self._take(cand, s, k) + (self.estimate_size(node),)
@@ -495,6 +513,7 @@ class Scorer:
                 seeds = self._term_seed_pruned(child, theta, suffix_ub[i + 1])
             else:
                 seeds = self._seed_docs(child)
+            seeds = self._drop_excluded(seeds)
             if seeds.size == 0:
                 continue
             fresh = seeds[~np.isin(seeds, scored_docs, assume_unique=True)]

@@ -230,6 +230,7 @@ class SearchIndex:
         self._term_cache: dict = {} if cache_terms else None
         self._pagerank = None
         self._docs = None
+        self._tombstones: "np.ndarray | None" = None
         # the bucket MODULUS comes from the recorded schema metadata;
         # counting tbucket= dirs (the legacy fallback) under-estimates
         # it when a sparse vocabulary leaves top buckets empty, which
@@ -330,6 +331,34 @@ class SearchIndex:
         )
         return [r["term"] for r in rows]
 
+    # -- tombstones (deletes since the last compaction) -------------------
+    @property
+    def tombstones(self) -> np.ndarray:
+        """Sorted doc_ids deleted but not yet compacted away.
+
+        Cached after the first read (serving-path searches must not pay
+        a Spark job each); a writer that deletes calls
+        ``refresh_tombstones()`` on its readers — or just reopens the
+        index.  Driver-held by design: the set is bounded by compaction
+        cadence (``ingest.compact`` empties it), the same reasoning
+        Lucene uses for its live-docs bitset."""
+        if self._tombstones is None:
+            import os
+            path = catalog.table_path(self.index_dir, "tombstones")
+            if not os.path.exists(path):
+                self._tombstones = np.empty(0, dtype=np.int64)
+            else:
+                rows = catalog.read_table(
+                    self.spark, self.index_dir, "tombstones"
+                ).select("doc_id").collect()
+                self._tombstones = np.sort(
+                    np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                )
+        return self._tombstones
+
+    def refresh_tombstones(self) -> None:
+        self._tombstones = None
+
     # -- auxiliary tables ------------------------------------------------
     def pagerank_for(self, doc_ids: list[int]) -> dict[int, float]:
         if self._pagerank is None:
@@ -420,7 +449,8 @@ class WikiSearcher:
             return {"time_second": 0.0, "expanded": exp_tokens if exp else [],
                     "n_res": 0, "docs": []}
         self.index.bind(tree)
-        scorer = Scorer(self.index.stats, model=weighting)
+        scorer = Scorer(self.index.stats, model=weighting,
+                        exclude=self.index.tombstones)
         doc_ids, scores, n_res = scorer.topk(tree, limit)
         runtime = time.perf_counter() - t0
 
@@ -696,6 +726,9 @@ def search_batch(
     trees_b = spark.sparkContext.broadcast(
         {qid: (q, _tree_spec(tree)) for qid, (q, tree) in trees.items()}
     )
+    # tombstones ride one broadcast to every kernel task (tiny between
+    # compactions; compact() empties the table)
+    tomb_b = spark.sparkContext.broadcast(index.tombstones)
 
     out_schema = (
         "query_id int, query string, rank int, doc_id long, "
@@ -713,7 +746,7 @@ def search_batch(
             t.plist = PostingList.from_rows(
                 t.field, t.text, rows_by_key.get((t.field, t.text), [])
             )
-        scorer = Scorer(stats, model=weighting)
+        scorer = Scorer(stats, model=weighting, exclude=tomb_b.value)
         doc_ids, scores, n_res = scorer.topk(tree, limit)
         return pd.DataFrame({
             "query_id": qid,
@@ -888,6 +921,12 @@ def search_batch_relational(
             .select("query_id", "doc_id").distinct()
         )
         scored = scored.join(excl, ["query_id", "doc_id"], "left_anti")
+    # tombstoned (deleted, not yet compacted) docs never rank — same
+    # live-docs filter the kernel applies, so the referee stays a twin
+    tomb = index.tombstones
+    if tomb.size:
+        scored = scored.where(~F.col("doc_id").isin(
+            [int(d) for d in tomb]))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -943,6 +982,7 @@ def search_many_broadcast(
             pl.prepare()
     b_plists = spark.sparkContext.broadcast(plists)
     b_trees = spark.sparkContext.broadcast(trees)
+    b_tomb = spark.sparkContext.broadcast(index.tombstones)
     stats = index.stats
 
     n_slices = max(
@@ -958,7 +998,7 @@ def search_many_broadcast(
                 continue
             for t in tree_terms(tree):
                 t.plist = b_plists.value[(t.field, t.text)]
-            scorer = Scorer(stats, model=weighting)
+            scorer = Scorer(stats, model=weighting, exclude=b_tomb.value)
             doc_ids, scores, n_res = scorer.topk(tree, limit)
             for r, (d, s) in enumerate(zip(doc_ids, scores), 1):
                 out.append((qid, q, r, int(d), float(s), int(n_res)))
@@ -974,6 +1014,78 @@ def search_many_broadcast(
         "query_id int, query string, rank int, doc_id long, "
         "score double, n_res long",
     )
+
+
+def serving_partition_stats(
+    index: SearchIndex,
+    queries: list[str],
+    limit: int = 10,
+    group: str = "AND",
+    weighting: str = Weighting.BM25F,
+    slices_per_core: int = 4,
+) -> list[dict]:
+    """Per-PARTITION serving metrics: run the broadcast serving plan
+    (same kernels, same slicing as ``search_many_broadcast``) and
+    return one row per task partition — ``partition_id``, queries
+    evaluated, kernel seconds, queries/sec.  The north rule's
+    "queries/sec served emitted per partition": a skewed slice (one
+    pathological query dominating a task) shows up here as a
+    queries_per_sec outlier, the serving twin of
+    ``metrics.skew_report``.  Driver-side list — bounded by task count.
+    """
+    import time as _time
+
+    spark = index.spark
+    specs: dict[str, tuple] = {}
+    keys = set()
+    for q in queries:
+        if q in specs:
+            continue
+        tree, _ = parse_query(q, group=group, expand=False,
+                              analyzers=index.analyzers, index=index)
+        specs[q] = _tree_spec(tree)
+        for t in tree_terms(tree) if tree is not None else []:
+            keys.add((t.field, t.text))
+    trees = {qid: (q, specs[q]) for qid, q in enumerate(queries)}
+    plists = index.fetch_postings(sorted(keys))
+    for pl in plists.values():
+        if pl is not None:
+            pl.prepare()
+    b_plists = spark.sparkContext.broadcast(plists)
+    b_trees = spark.sparkContext.broadcast(trees)
+    b_tomb = spark.sparkContext.broadcast(index.tombstones)
+    stats = index.stats
+    n_slices = max(
+        1, slices_per_core * spark.sparkContext.defaultParallelism
+    )
+
+    def run(pid, qids):
+        t0 = _time.perf_counter()
+        n = 0
+        for qid in qids:
+            q, spec = b_trees.value[qid]
+            tree = _tree_from_spec(spec)
+            if tree is None:
+                continue
+            for t in tree_terms(tree):
+                t.plist = b_plists.value[(t.field, t.text)]
+            scorer = Scorer(stats, model=weighting, exclude=b_tomb.value)
+            scorer.topk(tree, limit)
+            n += 1
+        sec = _time.perf_counter() - t0
+        yield (pid, n, sec)
+
+    rows = (
+        spark.sparkContext
+        .parallelize(list(trees), numSlices=n_slices)
+        .mapPartitionsWithIndex(run)
+        .collect()
+    )
+    return [
+        {"partition_id": pid, "n_queries": n, "kernel_sec": round(sec, 4),
+         "queries_per_sec": round(n / sec, 1) if sec > 0 else None}
+        for pid, n, sec in rows
+    ]
 
 
 # -- picklable tree spec (dataclasses with numpy members don't ship well) --

@@ -110,6 +110,11 @@ def is_complete(root: str, name: str) -> bool:
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read a stage table — the read half of the Iceberg seam: with a
+    catalog configured the table is resolved by name (snapshot reads,
+    hidden-partition pruning come free); otherwise the parquet dir."""
+    if iceberg_enabled(spark):
+        return spark.table(f"idx.{name}")
     return spark.read.parquet(table_path(root, name))
 
 

@@ -196,3 +196,22 @@ def test_iceberg_enabled_detects_catalog_conf(spark):
     """The gate keys on spark.sql.catalog.* session conf — absent in
     the test session (parquet fallback is the tested path)."""
     assert catalog.iceberg_enabled(spark) is False
+
+
+def test_iceberg_seam_routes_reads_through_table(spark, monkeypatch,
+                                                 tmp_path):
+    """The read half of the seam: with a catalog configured,
+    read_table resolves by NAME (`spark.table("idx.<name>")` —
+    snapshot reads, hidden-partition pruning), not by parquet path."""
+    seen = {}
+    real = spark.range(3).selectExpr("id AS doc_id")
+
+    def fake_table(name):
+        seen["name"] = name
+        return real
+
+    monkeypatch.setattr(catalog, "iceberg_enabled", lambda s: True)
+    monkeypatch.setattr(spark, "table", fake_table, raising=True)
+    got = catalog.read_table(spark, str(tmp_path / "noexist"), "docs")
+    assert seen["name"] == "idx.docs"
+    assert got is real  # no parquet path touched (dir doesn't exist)
