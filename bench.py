@@ -106,6 +106,21 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
         df = Q[name](spark, sf_dir)
         timed(name, lambda d=df: d.write.format("noop").mode("overwrite").save())
 
+    # --- 4. index maintenance: tombstone delete + compaction -------------
+    # 1% of docs, contiguous by doc_id (a recrawl/takedown batch shape);
+    # runs LAST so it cannot perturb the query measurements above.
+    from search_engine_wikipedia_spark.operators import ingest as ING
+    from search_engine_wikipedia_spark.sources import catalog as CAT
+
+    n_victims = max(10, n_docs // 100)
+    victim_urls = [
+        r["url"]
+        for r in CAT.read_table(spark, root, "docs")
+        .orderBy("doc_id").limit(n_victims).select("url").collect()
+    ]
+    timed("delete_urls", lambda: ING.delete_urls(spark, root, victim_urls))
+    timed("compact", lambda: ING.compact(spark, root))
+
     total = round(time.perf_counter() - t_all, 3)
     result = {
         "metric": "index-build docs/sec + WAND query batch + pipeline ops",

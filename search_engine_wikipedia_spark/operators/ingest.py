@@ -419,7 +419,7 @@ def _resume_pending_compact(spark: SparkSession, root: str,
 def _finish_swaps(root: str) -> None:
     """Complete a table swap interrupted by a crash.
 
-    ``_rewrite_table`` renames ``<name>.__tmp`` over ``<name>``; the
+    ``_selective_rewrite`` renames ``<name>.__tmp`` over ``<name>``; the
     only loss window is after the old dir is removed and before the
     rename.  At entry of every maintenance op: a complete ``__tmp``
     whose target is missing is renamed into place; any other ``__tmp``
@@ -436,28 +436,116 @@ def _finish_swaps(root: str) -> None:
             tmp.rename(target)
         else:
             shutil.rmtree(tmp, ignore_errors=True)
+    for scr in Path(root).glob("*.__scratch"):
+        # Spark staging dir of a selective rewrite that never reached
+        # its commit — always disposable
+        shutil.rmtree(scr, ignore_errors=True)
 
 
-def _rewrite_table(df: DataFrame, root: str, name: str,
-                   partition_by: list[str] | None = None) -> None:
-    """Replace table ``name`` with ``df`` via tmp-dir + rename swap.
+def _affected_files(path: str, dead) -> tuple[list[str], list[str]]:
+    """Split a flat table dir's parquet files into (affected,
+    unaffected) by whether the file's ``doc_id`` footer min/max range
+    intersects the sorted dead-id array.  Footer reads only — a few KB
+    per file, no data pages.  A file without usable statistics is
+    conservatively treated as affected."""
+    import numpy as np
+    import pyarrow.parquet as pq
 
-    Safe to read ``name`` inside ``df``'s plan (the write lands in a
-    different directory, so there is no Spark self-overwrite hazard);
-    crash recovery is ``_finish_swaps``."""
+    from pathlib import Path
+
+    affected, unaffected = [], []
+    for f in sorted(Path(path).glob("*.parquet")):
+        pf = pq.ParquetFile(str(f))
+        try:
+            ci = pf.schema_arrow.names.index("doc_id")
+        except ValueError:
+            affected.append(str(f))
+            continue
+        mn = mx = None
+        ok = True
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if not ok or mn is None:
+            affected.append(str(f))
+            continue
+        i = int(np.searchsorted(dead, mn, side="left"))
+        if i < dead.size and dead[i] <= mx:
+            affected.append(str(f))
+        else:
+            unaffected.append(str(f))
+    return affected, unaffected
+
+
+def _selective_rewrite(spark: SparkSession, root: str, name: str,
+                       dead) -> int:
+    """Remove rows with ``doc_id`` in ``dead`` from flat table
+    ``name``, rewriting ONLY the parquet files whose doc_id footer
+    range intersects the dead set; every untouched file is HARD-LINKED
+    into the swap dir (a metadata op, no data copied).  The pass is
+    O(touched files + total file count), not O(table) — build writes
+    are doc-ordered (build.py term_freqs note), so a contiguous
+    recrawl/takedown batch touches a handful of files out of millions.
+    Returns the number of files rewritten; zero means the table held no
+    dead rows and NO Spark job ran at all.  Crash-safe under the same
+    ``<name>.__tmp`` + rename protocol recovered by ``_finish_swaps``;
+    the Spark staging dir is ``<name>.__scratch``.
+    With Iceberg enabled this function is the rewrite-data-files action
+    of a positional DELETE, driven by the same file-level stats.
+    """
     import os
     import shutil
 
-    tmp = catalog.table_path(root, name) + ".__tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    catalog.commit(tmp)
+    import numpy as np
+
+    from pathlib import Path
+
     final = catalog.table_path(root, name)
+    dead = np.asarray(sorted(int(d) for d in dead), dtype=np.int64)
+    affected, unaffected = _affected_files(final, dead)
+    if not affected:
+        return 0
+    tmp = final + ".__tmp"
+    scratch = final + ".__scratch"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(tmp)
+    for f in unaffected:
+        os.link(f, os.path.join(tmp, os.path.basename(f)))
+    (
+        spark.read.parquet(*affected)
+        .where(~F.col("doc_id").isin([int(d) for d in dead]))
+        .write.mode("overwrite").parquet(scratch)
+    )
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]  # a rerun must not collide with a
+    #                                 prior compact's surviving files
+    kept = 0
+    for i, f in enumerate(sorted(Path(scratch).glob("*.parquet"))):
+        import pyarrow.parquet as pq
+
+        if (unaffected
+                and pq.ParquetFile(str(f)).metadata.num_rows == 0):
+            continue  # drop empty parts unless they carry the schema
+        kept += 1
+        os.rename(str(f),
+                  os.path.join(tmp, f"compact-{run_id}-{i:05d}.parquet"))
+    if not unaffected and kept == 0:
+        # every row died: keep one empty part so the dir stays readable
+        for f in sorted(Path(scratch).glob("*.parquet"))[:1]:
+            os.rename(str(f),
+                      os.path.join(tmp,
+                                   f"compact-{run_id}-00000.parquet"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    catalog.commit(tmp)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
+    return len(affected)
 
 
 def delete_urls(spark: SparkSession, root: str, urls) -> int:
@@ -562,17 +650,39 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
                 catalog.read_schema_meta(root).get("n_term_buckets")
                 or N_TERM_BUCKETS
             )
-        tf = catalog.read_table(spark, root, "term_freqs")
-        hit = tf.where(F.col("doc_id").isin(dead))
-        bucket_col = F.pmod(
-            F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
-        affected_segs = sorted(
-            r["seg_id"] for r in hit.select("seg_id").distinct().collect()
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pathlib import Path
+
+        n_total = sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in Path(catalog.table_path(root, "docs"))
+            .glob("*.parquet")
         )
-        affected_buckets = sorted(
-            r["b"] for r in hit.select(bucket_col.alias("b"))
-            .distinct().collect()
-        )
+        if n_total - len(dead) <= 0:
+            raise ValueError(
+                "compact would delete the entire corpus; drop the "
+                "index and rebuild instead"
+            )
+        # affected-set scan reads only the term_freqs files whose
+        # doc_id footer range holds a dead doc, not the whole table
+        dead_arr = np.asarray(sorted(dead), dtype=np.int64)
+        tf_files, _ = _affected_files(
+            catalog.table_path(root, "term_freqs"), dead_arr)
+        if tf_files:
+            hit = (spark.read.parquet(*tf_files)
+                   .where(F.col("doc_id").isin(dead)))
+            bucket_col = F.pmod(
+                F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
+            agg = hit.agg(
+                F.collect_set("seg_id").alias("segs"),
+                F.collect_set(bucket_col).alias("buckets"),
+            ).collect()[0]
+            affected_segs = sorted(agg["segs"])
+            affected_buckets = sorted(agg["buckets"])
+        else:
+            affected_segs, affected_buckets = [], []
         tmp = jp + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"dead": dead, "segs": affected_segs,
@@ -580,26 +690,13 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
                        "n_term_buckets": n_term_buckets}, f)
         os.replace(tmp, jp)
 
-    survivors = catalog.read_table(spark, root, "docs").where(
-        ~F.col("doc_id").isin(dead)
-    )
-    if survivors.limit(1).count() == 0:
-        raise ValueError(
-            "compact would delete the entire corpus; drop the index and "
-            "rebuild instead"
-        )
-    _rewrite_table(survivors, root, "docs")
-    _rewrite_table(
-        catalog.read_table(spark, root, "doc_stats")
-        .where(~F.col("doc_id").isin(dead)),
-        root, "doc_stats",
-    )
-    # re-read rather than reusing the affected-set scan's handle: on a
-    # journal resume that handle was never bound, and on a re-run the
-    # table may already be the filtered rewrite (the isin is a no-op)
-    tf = catalog.read_table(spark, root, "term_freqs")
-    _rewrite_table(tf.where(~F.col("doc_id").isin(dead)),
-                   root, "term_freqs")
+    # selective, footer-stats-driven rewrites: only the parquet files
+    # whose doc_id range holds a dead doc are rewritten, the rest are
+    # hard-linked — O(touched files), and a resume where a table was
+    # already swapped finds zero affected files and runs no job at all
+    _selective_rewrite(spark, root, "docs", dead)
+    _selective_rewrite(spark, root, "doc_stats", dead)
+    _selective_rewrite(spark, root, "term_freqs", dead)
     catalog.write_table(
         field_stats_from_doc_stats(
             catalog.read_table(spark, root, "doc_stats")),
@@ -648,11 +745,7 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         # drop deleted rows; survivor priors stay as built (the link
         # graph prior is a build-time artifact, refreshed by the next
         # pagerank job, not by compaction)
-        _rewrite_table(
-            catalog.read_table(spark, root, "pagerank")
-            .where(~F.col("doc_id").isin(dead)),
-            root, "pagerank",
-        )
+        _selective_rewrite(spark, root, "pagerank", dead)
 
     catalog.drop_table(root, "tombstones")
     os.remove(jp)

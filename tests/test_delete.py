@@ -274,6 +274,37 @@ def test_compact_crash_is_recovered_by_next_op(spark, corpus,
             == _term_stats_fingerprint(spark, fresh))
 
 
+def test_selective_rewrite_touches_only_files_holding_dead_docs(
+        spark, tmp_path):
+    """compact's table pass is O(touched files): a file whose doc_id
+    footer range holds no dead doc must survive as the SAME inode
+    (hard-linked, no data copied), and only intersecting files are
+    rewritten."""
+    from pathlib import Path
+
+    root = str(tmp_path)
+    df = (spark.range(0, 400).selectExpr(
+        "id AS doc_id", "concat('u', id) AS url")
+        .repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"))
+    catalog.write_table(df, root, "docs")
+    path = Path(root, "docs")
+    before = {f.name: os.stat(f).st_ino for f in path.glob("*.parquet")}
+    assert len(before) == 4
+
+    # dead ids all live in one file's range
+    n = ingest._selective_rewrite(spark, root, "docs", [5, 6, 7])
+    assert n == 1
+    after = {f.name: os.stat(f).st_ino for f in path.glob("*.parquet")}
+    preserved = set(before.items()) & set(after.items())
+    assert len(preserved) == 3  # untouched files: same inode, no copy
+    got = sorted(r["doc_id"] for r in
+                 catalog.read_table(spark, root, "docs").collect())
+    assert got == [i for i in range(400) if i not in (5, 6, 7)]
+
+    # a dead set nothing intersects runs no job and changes nothing
+    assert ingest._selective_rewrite(spark, root, "docs", [9999]) == 0
+
+
 def test_finish_swaps_completes_interrupted_rename(spark, corpus,
                                                    tmp_path_factory):
     """The rmtree→rename loss window: a committed __tmp dir whose target
