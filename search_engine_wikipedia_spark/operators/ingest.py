@@ -221,8 +221,20 @@ def append_pages(
     ).collect()[0]
     start_id = int(stats["mx"]) + 1 if stats["n"] else 0
 
+    # url-dedup against LIVE docs only: a tombstoned url is deletable
+    # history, not presence — a recrawl of a deleted page must ingest
+    # (the upsert_pages flow), while compact later removes the old copy
+    import os as _os
+
+    live = docs_tbl
+    if _os.path.exists(catalog.table_path(root, "tombstones")):
+        live = live.join(
+            catalog.read_table(spark, root, "tombstones")
+            .select("doc_id"),
+            "doc_id", "left_anti",
+        )
     new_docs = docs_from_pages(pages).join(
-        docs_tbl.select("url"), "url", "left_anti"
+        live.select("url"), "url", "left_anti"
     )
     # deterministic id assignment: url-sorted within the batch,
     # continuing after the current max id.  Reuses the build's two-pass
@@ -303,6 +315,31 @@ def append_pages(
 
     os.remove(_journal_path(root))  # batch fully applied
     return n_new
+
+
+def upsert_pages(spark: SparkSession, root: str, pages: DataFrame,
+                 shard_size: int = 1_000_000,
+                 n_term_buckets: int | None = None) -> tuple[int, int]:
+    """Recrawl/update flow: re-ingest pages whose urls may already be
+    indexed — Lucene's updateDocument (delete-then-add) re-expressed
+    over the tombstone lifecycle.  Returns ``(n_tombstoned,
+    n_appended)``.
+
+    1. every LIVE indexed copy of a batch url is tombstoned
+       (``delete_urls`` — idempotent, so a replay cannot
+       double-delete), making the url re-ingestible immediately;
+    2. the batch appends as a normal delta segment (``append_pages``
+       dedups against live docs only).
+
+    The old copy stops ranking the moment step 1 lands; the new copy
+    ranks after step 2; ``compact`` physically removes the old rows on
+    its own cadence.  Crash-safe end-to-end: both steps journal, and a
+    crash between them replays as (delete→0 marked) + append.
+    """
+    n_dead = delete_urls(spark, root, pages.select("url"))
+    n_new = append_pages(spark, root, pages, shard_size=shard_size,
+                         n_term_buckets=n_term_buckets)
+    return n_dead, n_new
 
 
 def remerge(spark: SparkSession, root: str, shard_size: int = 1_000_000,
@@ -753,17 +790,25 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
 
 
 def stream_ingest(spark: SparkSession, root: str, stream_pages: DataFrame,
-                  checkpoint_dir: str, shard_size: int = 1_000_000):
+                  checkpoint_dir: str, shard_size: int = 1_000_000,
+                  upsert: bool = False):
     """Continuous ingest: one ``append_pages`` per micro-batch.
 
     ``stream_pages`` is a streaming DataFrame with the pages schema;
     returns the started StreamingQuery.  The foreachBatch body is the
     idempotent batch append (segment overwrite + url dedup), so an
-    epoch replay after failure cannot duplicate postings.
+    epoch replay after failure cannot duplicate postings.  With
+    ``upsert=True`` each micro-batch runs the recrawl flow
+    (``upsert_pages``): already-indexed urls are tombstoned and
+    re-ingested with the batch's content — a continuous-crawl feed
+    where pages change between visits.
     """
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        append_pages(spark, root, batch_df, shard_size=shard_size)
+        if upsert:
+            upsert_pages(spark, root, batch_df, shard_size=shard_size)
+        else:
+            append_pages(spark, root, batch_df, shard_size=shard_size)
 
     return (
         stream_pages.writeStream

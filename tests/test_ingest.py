@@ -248,3 +248,43 @@ def test_tiered_merge_rewrites_only_delta_buckets(spark, corpus,
         _pages_df(spark, corpus[:250] + delta), resume=False)
     assert (_term_stats_fingerprint(spark, root)
             == _term_stats_fingerprint(spark, full_root))
+
+
+def test_upsert_recrawl_replaces_content(spark, corpus, tmp_path_factory):
+    """The recrawl flow: upserting changed pages must serve the NEW
+    content immediately (old copy tombstoned, new copy ranks), and
+    after compact the index equals a fresh build over the updated
+    corpus."""
+    root = str(tmp_path_factory.mktemp("ups_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:200]), resume=False)
+    indexed = {r["url"] for r in catalog.read_table(spark, root, "docs")
+               .select("url").collect()}
+    updated = [dict(p, text="qqrecrawl fresh revision content " * 5)
+               for p in corpus[:200] if p["url"] in indexed][:3]
+    new_urls = {p["url"] for p in updated}
+
+    n_dead, n_new = ingest.upsert_pages(
+        spark, root, _pages_df(spark, updated), shard_size=200)
+    assert (n_dead, n_new) == (3, 3)
+
+    # the new revision ranks for its new vocabulary, on the SAME urls
+    res = _search_by_url(spark, root, ["qqrecrawl"])
+    assert {u for _, u in res["qqrecrawl"]} == new_urls
+    # old copies are tombstoned history: live doc count is stable
+    idx = SearchIndex(spark, root)
+    assert len(idx.tombstones) == 3
+
+    # physical removal, then parity with a fresh build over the
+    # updated corpus
+    assert ingest.compact(spark, root, shard_size=200) == 3
+    fresh = str(tmp_path_factory.mktemp("ups_fresh"))
+    updated_corpus = [p for p in corpus[:200]
+                      if p["url"] not in new_urls] + updated
+    IndexBuilder(spark, fresh, n_segments=4, shard_size=200).build(
+        _pages_df(spark, updated_corpus), resume=False)
+    assert (_term_stats_fingerprint(spark, root)
+            == _term_stats_fingerprint(spark, fresh))
+    got = _search_by_url(spark, root, QUERIES[:8] + ["qqrecrawl"])
+    want = _search_by_url(spark, fresh, QUERIES[:8] + ["qqrecrawl"])
+    assert got == want
