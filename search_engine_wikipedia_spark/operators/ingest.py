@@ -674,6 +674,9 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         affected_segs = j["segs"]
         affected_buckets = j["buckets"]
         n_term_buckets = j["n_term_buckets"]
+        # a resume entered from ANOTHER maintenance op (its default
+        # shard_size) must re-merge with the original run's setting
+        shard_size = j.get("shard_size", shard_size)
     else:
         if not os.path.exists(tomb_path):
             return 0
@@ -724,7 +727,8 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         with open(tmp, "w") as f:
             json.dump({"dead": dead, "segs": affected_segs,
                        "buckets": affected_buckets,
-                       "n_term_buckets": n_term_buckets}, f)
+                       "n_term_buckets": n_term_buckets,
+                       "shard_size": shard_size}, f)
         os.replace(tmp, jp)
 
     # selective, footer-stats-driven rewrites: only the parquet files

@@ -288,3 +288,47 @@ def test_upsert_recrawl_replaces_content(spark, corpus, tmp_path_factory):
     got = _search_by_url(spark, root, QUERIES[:8] + ["qqrecrawl"])
     want = _search_by_url(spark, fresh, QUERIES[:8] + ["qqrecrawl"])
     assert got == want
+
+
+def test_stream_upsert_recrawls_changed_pages(spark, corpus,
+                                              tmp_path_factory):
+    """stream_ingest(upsert=True): a feed mixing NEW pages and CHANGED
+    revisions of already-indexed pages converges, after compact, to a
+    fresh build over the final corpus state."""
+    root = str(tmp_path_factory.mktemp("sups_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:200]), resume=False)
+    indexed = {r["url"] for r in catalog.read_table(spark, root, "docs")
+               .select("url").collect()}
+    changed = [dict(p, text="qqstreamed updated revision " * 4)
+               for p in corpus[:200] if p["url"] in indexed][:2]
+    feed_pages = changed + list(corpus[200:230])
+
+    feed = str(tmp_path_factory.mktemp("ups_feed"))
+    _pages_df(spark, feed_pages).repartition(2).write.mode(
+        "overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = ingest.stream_ingest(
+        spark, root, stream,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ups_ckpt")),
+        shard_size=200, upsert=True,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    # new revisions rank on their urls before any compaction
+    res = _search_by_url(spark, root, ["qqstreamed"])
+    assert {u for _, u in res["qqstreamed"]} == {p["url"] for p in changed}
+
+    ingest.compact(spark, root, shard_size=200)
+    final_corpus = [p for p in corpus[:200]
+                    if p["url"] not in {c["url"] for c in changed}]
+    final_corpus += feed_pages
+    fresh = str(tmp_path_factory.mktemp("sups_fresh"))
+    IndexBuilder(spark, fresh, n_segments=4, shard_size=200).build(
+        _pages_df(spark, final_corpus), resume=False)
+    assert (_term_stats_fingerprint(spark, root)
+            == _term_stats_fingerprint(spark, fresh))
