@@ -163,27 +163,50 @@ def append_lineage(
     spark: SparkSession, root: str, rows: list[dict]
 ) -> None:
     """Append lineage rows (stage, seg_id, n_docs, n_terms, bytes,
-    checksum, build_ts) to the manifests table."""
-    import datetime as dt
+    checksum, build_ts) to the manifests table.
 
-    from .. import schemas
+    Written with pyarrow directly from the driver — the rows are
+    driver-held metadata (a few per stage), and a Spark
+    createDataFrame→write round trip here costs a whole job per call;
+    builds/appends/compacts emit lineage several times each.  The file
+    schema mirrors ``schemas.MANIFESTS`` exactly (timestamp in µs), so
+    Spark reads the mixed-writer directory transparently."""
+    import datetime as dt
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    full = [
-        {
-            "stage": r.get("stage"),
-            "seg_id": r.get("seg_id"),
-            "partition_id": r.get("partition_id"),
-            "n_docs": r.get("n_docs"),
-            "n_terms": r.get("n_terms"),
-            "bytes": r.get("bytes"),
-            "checksum": r.get("checksum"),
-            "build_ts": now,
-        }
-        for r in rows
-    ]
-    df = spark.createDataFrame(full, schema=schemas.MANIFESTS)
-    df.coalesce(1).write.mode("append").parquet(table_path(root, "manifests"))
+    schema = pa.schema([
+        ("stage", pa.string()),
+        ("seg_id", pa.int32()),
+        ("partition_id", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("n_terms", pa.int64()),
+        ("bytes", pa.int64()),
+        ("checksum", pa.string()),
+        ("build_ts", pa.timestamp("us")),
+    ])
+    def _i(v):
+        return None if v is None else int(v)  # numpy scalars → python
+
+    cols = {
+        "stage": [r.get("stage") for r in rows],
+        "seg_id": [_i(r.get("seg_id")) for r in rows],
+        "partition_id": [_i(r.get("partition_id")) for r in rows],
+        "n_docs": [_i(r.get("n_docs")) for r in rows],
+        "n_terms": [_i(r.get("n_terms")) for r in rows],
+        "bytes": [_i(r.get("bytes")) for r in rows],
+        "checksum": [r.get("checksum") for r in rows],
+    }
+    cols["build_ts"] = [now] * len(rows)
+    table = pa.Table.from_pydict(cols, schema=schema)
+    path = Path(table_path(root, "manifests"))
+    path.mkdir(parents=True, exist_ok=True)
+    tmp = path / f".lineage-{uuid.uuid4().hex}.parquet.tmp"
+    pq.write_table(table, tmp)
+    tmp.rename(path / tmp.name[1:-len(".tmp")])  # atomic visibility
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame:
