@@ -216,10 +216,15 @@ def append_pages(
     _resume_pending_compact(spark, root, shard_size)
     recover_incomplete(spark, root, shard_size=shard_size)
     docs_tbl = catalog.read_table(spark, root, "docs")
-    stats = docs_tbl.agg(
-        F.count("*").alias("n"), F.max("doc_id").alias("mx")
-    ).collect()[0]
-    start_id = int(stats["mx"]) + 1 if stats["n"] else 0
+    if catalog.iceberg_enabled(spark):
+        stats = docs_tbl.agg(
+            F.count("*").alias("n"), F.max("doc_id").alias("mx")
+        ).collect()[0]
+        start_id = int(stats["mx"]) + 1 if stats["n"] else 0
+    else:
+        # footer stats: no Spark job for a driver-held scalar
+        n_rows, _, mx = catalog.footer_stats(root, "docs", "doc_id")
+        start_id = int(mx) + 1 if n_rows else 0
 
     # url-dedup against LIVE docs only: a tombstoned url is deletable
     # history, not presence — a recrawl of a deleted page must ingest
@@ -253,8 +258,12 @@ def append_pages(
     if n_new == 0:
         return 0
 
-    seg_tbl = catalog.read_table(spark, root, "term_freqs")
-    next_seg = int(seg_tbl.agg(F.max("seg_id")).collect()[0][0]) + 1
+    if catalog.iceberg_enabled(spark):
+        seg_tbl = catalog.read_table(spark, root, "term_freqs")
+        next_seg = int(seg_tbl.agg(F.max("seg_id")).collect()[0][0]) + 1
+    else:
+        _, _, seg_mx = catalog.footer_stats(root, "term_freqs", "seg_id")
+        next_seg = int(seg_mx) + 1
 
     journal: dict = {"seg_id": next_seg, "before": {}, "steps": []}
     _write_journal(root, journal)
@@ -680,8 +689,12 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     else:
         if not os.path.exists(tomb_path):
             return 0
-        dead = [int(r["doc_id"]) for r in catalog.read_table(
-            spark, root, "tombstones").select("doc_id").collect()]
+        if catalog.iceberg_enabled(spark):
+            dead = [int(r["doc_id"]) for r in catalog.read_table(
+                spark, root, "tombstones").select("doc_id").collect()]
+        else:  # bounded by compaction cadence — pyarrow, no Spark job
+            dead = [int(v) for v in catalog.read_table_arrow(
+                root, "tombstones", ["doc_id"])["doc_id"].to_pylist()]
         if not dead:
             catalog.drop_table(root, "tombstones")
             return 0

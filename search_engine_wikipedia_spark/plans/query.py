@@ -347,13 +347,20 @@ class SearchIndex:
             path = catalog.table_path(self.index_dir, "tombstones")
             if not os.path.exists(path):
                 self._tombstones = np.empty(0, dtype=np.int64)
-            else:
+            elif catalog.iceberg_enabled(self.spark):
                 rows = catalog.read_table(
                     self.spark, self.index_dir, "tombstones"
                 ).select("doc_id").collect()
                 self._tombstones = np.sort(
                     np.array([r["doc_id"] for r in rows], dtype=np.int64)
                 )
+            else:
+                # serving path: pyarrow footer-to-driver read, no Spark
+                # job on index open
+                arr = catalog.read_table_arrow(
+                    self.index_dir, "tombstones", ["doc_id"]
+                )["doc_id"].to_numpy(zero_copy_only=False)
+                self._tombstones = np.sort(arr.astype(np.int64))
         return self._tombstones
 
     def refresh_tombstones(self) -> None:

@@ -213,6 +213,54 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(table_path(root, "manifests"))
 
 
+def footer_stats(root: str, name: str,
+                 col: str | None = None) -> tuple[int, object, object]:
+    """(num_rows, min, max) of a column across a parquet table's file
+    FOOTERS — no Spark job, no data pages.  min/max are None when
+    ``col`` is None or any row group lacks statistics.  Parquet-dir
+    path only: with an Iceberg catalog the caller should keep the
+    DataFrame agg (the manifest-based planner makes it metadata-only
+    there too)."""
+    import pyarrow.parquet as pq
+
+    n_rows, mn, mx = 0, None, None
+    have_stats = col is not None
+    for f in sorted(Path(table_path(root, name)).rglob("*.parquet")):
+        pf = pq.ParquetFile(str(f))
+        n_rows += pf.metadata.num_rows
+        if not have_stats:
+            continue
+        try:
+            ci = pf.schema_arrow.names.index(col)
+        except ValueError:
+            have_stats = False
+            continue
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                have_stats = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if not have_stats:
+        mn = mx = None
+    return n_rows, mn, mx
+
+
+def read_table_arrow(root: str, name: str, columns: list[str] | None = None):
+    """Read a SMALL table directly into a pyarrow Table on the driver —
+    no Spark job.  For driver-held metadata sets (tombstones between
+    compactions, schema/stat sidecars); anything row-scaled stays on
+    ``read_table``."""
+    import pyarrow.dataset as ds
+
+    files = sorted(str(f) for f in
+                   Path(table_path(root, name)).rglob("*.parquet"))
+    if not files:  # committed-but-empty tables keep one empty part
+        raise FileNotFoundError(table_path(root, name))
+    return ds.dataset(files, format="parquet").to_table(columns=columns)
+
+
 def completed_segments(spark: SparkSession, root: str, stage: str) -> set[int]:
     """Seg ids recorded as complete for a stage (segment-level resume)."""
     path = Path(table_path(root, "manifests"))
