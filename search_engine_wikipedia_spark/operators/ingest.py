@@ -214,6 +214,7 @@ def append_pages(
     """
     _finish_swaps(root)
     _resume_pending_compact(spark, root, shard_size)
+    _resume_pending_optimize(spark, root)
     recover_incomplete(spark, root, shard_size=shard_size)
     docs_tbl = catalog.read_table(spark, root, "docs")
     if catalog.iceberg_enabled(spark):
@@ -324,6 +325,135 @@ def append_pages(
 
     os.remove(_journal_path(root))  # batch fully applied
     return n_new
+
+
+_OPTIMIZE_JOURNAL = "_OPTIMIZE.json"
+
+
+def _resume_pending_optimize(spark: SparkSession, root: str) -> None:
+    """Finish a crashed optimize before any other maintenance op: its
+    journaled mapping drives the remaining phases idempotently."""
+    import os
+
+    if os.path.exists(os.path.join(root, _OPTIMIZE_JOURNAL)):
+        optimize_segments(spark, root)
+
+
+def optimize_segments(spark: SparkSession, root: str,
+                      max_segments: int = 8) -> int:
+    """Coalesce delta segments — Lucene's forceMerge for this LSM.
+
+    Continuous ingest appends ONE segment per batch
+    (``append_pages``), so ``postings_seg``/``term_freqs`` fragment
+    into many small segments over time and every later maintenance op
+    (tiered re-merge, compact re-encode) pays per-segment group
+    overhead.  This op renumbers CONSECUTIVE segments into at most
+    ``max_segments`` row-balanced groups and re-encodes the segment
+    postings.  Consecutiveness preserves the engine's core invariant —
+    segments hold disjoint doc ranges, ascending in seg_id — so the
+    monotone-salt merge and the tiered ingest path work unchanged; the
+    global ``postings`` table is untouched (its blobs don't depend on
+    segment structure).
+
+    Crash-safe two-phase journal (``_OPTIMIZE.json``, written before
+    any rewrite): phase is detected from the term_freqs footer
+    max(seg_id) — still the journaled ``pre_max`` means the renumber
+    has not landed (the table swap is atomic), ``post_max`` means it
+    has; the two can never be equal because coalescing strictly lowers
+    the max.  Either way the segment re-encode is re-derivable from
+    term_freqs, so a resume just replays the remaining phases.
+    Returns the segment count after the call.
+    """
+    import json
+    import math
+    import os
+    import shutil
+
+    _finish_swaps(root)
+    jp = os.path.join(root, _OPTIMIZE_JOURNAL)
+    if not os.path.exists(jp):
+        # fresh run: settle any pending compact first.  Skipped on a
+        # resume — the journals are mutually exclusive by construction,
+        # and resuming must not re-enter the sibling op.
+        _resume_pending_compact(spark, root, 1_000_000)
+    recover_incomplete(spark, root)
+    if os.path.exists(jp):
+        with open(jp) as f:
+            j = json.load(f)
+        mapping = {int(k): int(v) for k, v in j["mapping"].items()}
+        pre_max, post_max = int(j["pre_max"]), int(j["post_max"])
+        post_n = post_max + 1
+    else:
+        tf = catalog.read_table(spark, root, "term_freqs")
+        rows = (
+            tf.groupBy("seg_id").agg(
+                F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        )
+        segs = sorted((int(r["seg_id"]), int(r["mn"]), int(r["mx"]),
+                       int(r["n"])) for r in rows)
+        if len(segs) <= max_segments:
+            return len(segs)
+        for a, b in zip(segs, segs[1:]):
+            if a[2] >= b[1]:
+                raise AssertionError(
+                    f"segment doc ranges overlap ({a} vs {b}); the "
+                    "monotone invariant is broken — rebuild the index"
+                )
+        total = sum(s[3] for s in segs)
+        target = math.ceil(total / max_segments)
+        groups: list[list[int]] = [[]]
+        acc = 0
+        for seg_id, _, _, n in segs:
+            if acc >= target and len(groups) < max_segments:
+                groups.append([])
+                acc = 0
+            groups[-1].append(seg_id)
+            acc += n
+        mapping = {s: gi for gi, grp in enumerate(groups) for s in grp}
+        pre_max, post_max = segs[-1][0], len(groups) - 1
+        post_n = post_max + 1
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"mapping": mapping, "pre_max": pre_max,
+                       "post_max": post_max}, f)
+        os.replace(tmp, jp)
+
+    _, _, cur_max = catalog.footer_stats(root, "term_freqs", "seg_id")
+    if int(cur_max) == pre_max:
+        # phase 1: renumber term_freqs (atomic swap)
+        m = F.create_map(
+            *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+        )
+        tf = catalog.read_table(spark, root, "term_freqs")
+        new_tf = tf.withColumn(
+            "seg_id", m[F.col("seg_id")].cast("int"))
+        final = catalog.table_path(root, "term_freqs")
+        tmp_dir = final + ".__tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        new_tf.write.mode("overwrite").parquet(tmp_dir)
+        catalog.commit(tmp_dir)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp_dir, final)
+
+    # phase 2: re-encode segment postings from the renumbered table
+    tf_new = catalog.read_table(spark, root, "term_freqs")
+    seg_df = build_segments(tf_new).repartition(post_n, "seg_id")
+    seg_final = catalog.table_path(root, "postings_seg")
+    seg_tmp = seg_final + ".__tmp"
+    shutil.rmtree(seg_tmp, ignore_errors=True)
+    seg_df.write.mode("overwrite").partitionBy("seg_id").parquet(seg_tmp)
+    catalog.commit(seg_tmp)
+    shutil.rmtree(seg_final, ignore_errors=True)
+    os.rename(seg_tmp, seg_final)
+
+    catalog.append_lineage(spark, root, [{
+        "stage": "optimize", "seg_id": post_n,
+        "checksum": f"pre_max={pre_max}",
+    }])
+    os.remove(jp)
+    return post_n
 
 
 def upsert_pages(spark: SparkSession, root: str, pages: DataFrame,
@@ -614,6 +744,7 @@ def delete_urls(spark: SparkSession, root: str, urls) -> int:
 
     _finish_swaps(root)
     _resume_pending_compact(spark, root, 1_000_000)
+    _resume_pending_optimize(spark, root)
     recover_incomplete(spark, root)
     docs_tbl = catalog.read_table(spark, root, "docs")
     if isinstance(urls, DataFrame):
@@ -671,9 +802,12 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     import shutil
 
     _finish_swaps(root)
+    jp = os.path.join(root, _COMPACT_JOURNAL)
+    if not os.path.exists(jp):
+        # fresh run only — see the matching note in optimize_segments
+        _resume_pending_optimize(spark, root)
     recover_incomplete(spark, root, shard_size=shard_size)
     tomb_path = catalog.table_path(root, "tombstones")
-    jp = os.path.join(root, _COMPACT_JOURNAL)
     if os.path.exists(jp):
         # resuming a crashed compact: every affected-set below was
         # computed against the PRE-rewrite tables — reuse it verbatim
