@@ -122,9 +122,13 @@ def dedup_components(documents: DataFrame, n_hashes: int = 16,
     ``WHERE is_canonical`` is the dedup filter a training pipeline
     applies before tokenization.
 
-    The pair graph is tiny relative to the corpus (only banding
-    collisions), so the component labels broadcast back onto the full
-    document table — the big side is never shuffled.
+    The label map holds one row per document that appears in ANY
+    candidate pair — on a real web crawl that is 30-50% of the corpus,
+    i.e. billions of rows at 100 TB, so it is deliberately NOT
+    broadcast-hinted: AQE's size-based join selection broadcasts it
+    when it is genuinely small and falls back to a shuffled join when
+    it is not (``tests/test_plans.py`` asserts the degradation).  A
+    hint here would force a driver/executor OOM at crawl dup-rates.
     """
     from . import textpipe
 
@@ -138,7 +142,7 @@ def dedup_components(documents: DataFrame, n_hashes: int = 16,
     out = (
         documents.select("doc_id")
         .join(
-            F.broadcast(comp.withColumnRenamed("node", "doc_id")),
+            comp.withColumnRenamed("node", "doc_id"),
             "doc_id", "left",
         )
         .select(
@@ -164,10 +168,12 @@ def dedup_keep_best(documents: DataFrame, n_hashes: int = 16,
     boilerplate-wrapped mirror, min-id keeps whichever crawled first;
     quality-keep retains the cleaner text.
 
-    Plan: cluster labels (see ``dedup_components``) broadcast onto the
-    quality table, then one row_number window PER COMPONENT — cluster
-    sizes are banding collisions, so the window partitions are tiny and
-    the shuffle is on the (small) component key space.
+    Plan: cluster labels (see ``dedup_components``) join onto the
+    quality table (un-hinted — AQE broadcasts only when the label side
+    is genuinely small; at crawl dup-rates it is corpus-scaled and the
+    shuffled join is the right plan), then one row_number window PER
+    COMPONENT — cluster sizes are banding collisions, so the window
+    partitions are tiny and skew-free.
     """
     from . import textpipe
 
@@ -182,7 +188,7 @@ def dedup_keep_best(documents: DataFrame, n_hashes: int = 16,
         F.desc("quality"), F.asc("doc_id")
     )
     return (
-        quality.join(F.broadcast(comp), "doc_id")
+        quality.join(comp, "doc_id")
         .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
         .select("doc_id", "component", "keep")
     )

@@ -167,13 +167,33 @@ def test_train_split_is_pure_narrow_map(docs):
     assert "doc_id" in rs and "text" not in rs, rs
 
 
-def test_dedup_components_broadcasts_labels(docs):
-    """The cluster-label join back onto the corpus must be a broadcast
-    (the big side never shuffles), and the corpus scan must read only
-    doc_id."""
+def test_dedup_label_join_is_size_adaptive(spark, docs):
+    """The cluster-label join back onto the corpus carries NO broadcast
+    hint: AQE's size-based selection broadcasts the label map when it
+    is genuinely small (this fixture) and MUST degrade to a shuffled
+    join when the label side is large (stood in for by disabling the
+    size-based broadcast thresholds — on a crawl, 30-50% of docs are
+    near-dups and the label map is corpus-scaled, so a forced broadcast
+    is a guaranteed OOM).  The corpus scan must read only doc_id."""
     from search_engine_wikipedia_spark.operators import components as C
 
-    p = plan_of(C.dedup_components(docs))
-    assert "BroadcastHashJoin" in p, p[:800]
-    rs = p.split("ReadSchema")[1][:120]
+    out = C.dedup_components(docs)
+    out.collect()  # AQE finalizes the plan at execution
+    p_small = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_small, p_small[:800]
+    rs = p_small.split("ReadSchema")[1][:120]
     assert "text" not in rs, rs
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = C.dedup_components(docs)
+        big.collect()
+        p_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p_big, p_big[:800]
+        assert ("SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big), \
+            p_big[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
