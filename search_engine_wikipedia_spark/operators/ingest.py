@@ -166,6 +166,15 @@ def recover_incomplete(spark: SparkSession, root: str,
         journal = json.load(f)
     for name, before in journal.get("before", {}).items():
         tbl = catalog.table_path(root, name)
+        if not before:
+            # empty snapshot ⇒ the crashed batch CREATED this table
+            # (committed tables always hold ≥1 parquet file, even when
+            # empty) — remove the whole dir, markers included.  Leaving
+            # a parquet-less dir behind bricks every later reader:
+            # os.path.exists is true but spark.read.parquet cannot
+            # infer a schema (the delete_urls crash case).
+            shutil.rmtree(tbl, ignore_errors=True)
+            continue
         # delete (current − snapshot): everything the half-applied batch
         # added, whether or not its append job got as far as committing
         for rel in sorted(_table_files(root, name) - set(before)):
@@ -223,17 +232,19 @@ def append_pages(
         ).collect()[0]
         start_id = int(stats["mx"]) + 1 if stats["n"] else 0
     else:
-        # footer stats: no Spark job for a driver-held scalar
+        # footer stats: no Spark job for a driver-held scalar.  mx can
+        # be None on a NON-empty table too (a writer with statistics
+        # disabled) — fall back to the DataFrame agg, don't TypeError.
         n_rows, _, mx = catalog.footer_stats(root, "docs", "doc_id")
+        if n_rows and mx is None:
+            mx = docs_tbl.agg(F.max("doc_id")).collect()[0][0]
         start_id = int(mx) + 1 if n_rows else 0
 
     # url-dedup against LIVE docs only: a tombstoned url is deletable
     # history, not presence — a recrawl of a deleted page must ingest
     # (the upsert_pages flow), while compact later removes the old copy
-    import os as _os
-
     live = docs_tbl
-    if _os.path.exists(catalog.table_path(root, "tombstones")):
+    if catalog.table_exists(root, "tombstones"):
         live = live.join(
             catalog.read_table(spark, root, "tombstones")
             .select("doc_id"),
@@ -264,6 +275,9 @@ def append_pages(
         next_seg = int(seg_tbl.agg(F.max("seg_id")).collect()[0][0]) + 1
     else:
         _, _, seg_mx = catalog.footer_stats(root, "term_freqs", "seg_id")
+        if seg_mx is None:  # stats-less writer — same fallback as above
+            seg_mx = catalog.read_table(spark, root, "term_freqs").agg(
+                F.max("seg_id")).collect()[0][0]
         next_seg = int(seg_mx) + 1
 
     journal: dict = {"seg_id": next_seg, "before": {}, "steps": []}
@@ -421,6 +435,9 @@ def optimize_segments(spark: SparkSession, root: str,
         os.replace(tmp, jp)
 
     _, _, cur_max = catalog.footer_stats(root, "term_freqs", "seg_id")
+    if cur_max is None:  # stats-less writer — same fallback as ingest
+        cur_max = catalog.read_table(spark, root, "term_freqs").agg(
+            F.max("seg_id")).collect()[0][0]
     if int(cur_max) == pre_max:
         # phase 1: renumber term_freqs (atomic swap)
         m = F.create_map(
@@ -755,8 +772,7 @@ def delete_urls(spark: SparkSession, root: str, urls) -> int:
         docs_tbl.join(F.broadcast(url_df.distinct()), "url")
         .select(F.col("doc_id").cast("long").alias("doc_id"), "url")
     )
-    tomb_path = catalog.table_path(root, "tombstones")
-    if os.path.exists(tomb_path):
+    if catalog.table_exists(root, "tombstones"):
         victims = victims.join(
             catalog.read_table(spark, root, "tombstones").select("doc_id"),
             "doc_id", "left_anti",
@@ -807,7 +823,6 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         # fresh run only — see the matching note in optimize_segments
         _resume_pending_optimize(spark, root)
     recover_incomplete(spark, root, shard_size=shard_size)
-    tomb_path = catalog.table_path(root, "tombstones")
     if os.path.exists(jp):
         # resuming a crashed compact: every affected-set below was
         # computed against the PRE-rewrite tables — reuse it verbatim
@@ -821,7 +836,7 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         # shard_size) must re-merge with the original run's setting
         shard_size = j.get("shard_size", shard_size)
     else:
-        if not os.path.exists(tomb_path):
+        if not catalog.table_exists(root, "tombstones"):
             return 0
         if catalog.iceberg_enabled(spark):
             dead = [int(r["doc_id"]) for r in catalog.read_table(

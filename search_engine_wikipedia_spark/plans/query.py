@@ -343,9 +343,11 @@ class SearchIndex:
         cadence (``ingest.compact`` empties it), the same reasoning
         Lucene uses for its live-docs bitset."""
         if self._tombstones is None:
-            import os
-            path = catalog.table_path(self.index_dir, "tombstones")
-            if not os.path.exists(path):
+            if not catalog.table_exists(self.index_dir, "tombstones"):
+                # covers both "never deleted" and a parquet-less dir
+                # left by a crash (ingest.recover_incomplete cleans
+                # those, but serving must not depend on a writer having
+                # run since the crash)
                 self._tombstones = np.empty(0, dtype=np.int64)
             elif catalog.iceberg_enabled(self.spark):
                 rows = catalog.read_table(

@@ -118,6 +118,21 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(root, name))
 
 
+def table_exists(root: str, name: str) -> bool:
+    """True iff the table dir holds at least one parquet file.
+
+    A bare ``os.path.exists`` is NOT the right presence test: a crash
+    while a batch was CREATING a table can leave the directory with
+    only Spark's ``_SUCCESS``/manifest markers and zero parquet files
+    (``ingest.recover_incomplete`` now removes such dirs, but readers
+    stay defensive — a parquet-less dir would otherwise make
+    ``spark.read.parquet`` fail schema inference on every later op)."""
+    p = Path(table_path(root, name))
+    if not p.exists():
+        return False
+    return any(p.rglob("*.parquet"))
+
+
 def drop_table(root: str, name: str) -> None:
     import shutil
 

@@ -324,3 +324,56 @@ def test_finish_swaps_completes_interrupted_rename(spark, corpus,
     shutil.copytree(docs, tmp)
     ingest._finish_swaps(root)
     assert os.path.exists(docs) and not os.path.exists(tmp)
+
+
+@pytest.mark.parametrize("crash_at", ["pre_commit", "post_commit"])
+def test_crash_mid_first_delete_does_not_brick_index(
+        spark, corpus, tmp_path_factory, monkeypatch, crash_at):
+    """The FIRST delete_urls on an index CREATES the tombstones table
+    inside the journaled batch (before-snapshot = []).  A crash in that
+    window must not brick the index: recovery removes the whole
+    just-born table dir (not just its parquet files — a parquet-less
+    dir with _SUCCESS markers makes every later spark.read.parquet fail
+    schema inference), searches still serve, and re-running the delete
+    converges.  ``pre_commit`` = dir + markers exist but no parquet
+    landed; ``post_commit`` = parquet landed but the journal survived.
+    """
+    root = str(tmp_path_factory.mktemp(f"crash_del_{crash_at}"))
+    _build(spark, root, _pages_df(spark, corpus[:120]))
+    victims = _victim_urls(spark, root, QUERIES[1], k=2)
+    pre = _search_by_url(spark, root, QUERIES[:4])
+
+    orig = ingest._append_table
+
+    def dying(df, r, name):
+        if name == "tombstones":
+            if crash_at == "post_commit":
+                orig(df, r, name)
+            else:  # dir + commit markers only, zero parquet files
+                path = catalog.table_path(r, name)
+                os.makedirs(path, exist_ok=True)
+                open(os.path.join(path, "_SUCCESS"), "w").close()
+                catalog.commit(path)
+            raise RuntimeError("injected crash mid-delete")
+        return orig(df, r, name)
+
+    monkeypatch.setattr(ingest, "_append_table", dying)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest.delete_urls(spark, root, victims)
+    monkeypatch.setattr(ingest, "_append_table", orig)
+
+    # a fresh reader must not see half-applied tombstones as presence
+    # (pre_commit: parquet-less dir reads as the empty table)
+    if crash_at == "pre_commit":
+        assert not catalog.table_exists(root, "tombstones")
+        assert SearchIndex(spark, root).tombstones.size == 0
+        assert _search_by_url(spark, root, QUERIES[:4]) == pre
+
+    # every maintenance entry rolls the batch back, then converges:
+    # the re-run marks BOTH victims again (nothing half-deleted)
+    assert ingest.delete_urls(spark, root, victims) == len(victims)
+    post = _search_by_url(spark, root, QUERIES[:4])
+    assert not {u for _, u in post[QUERIES[1]]} & set(victims)
+    # and the rest of the lifecycle still works end-to-end
+    assert ingest.compact(spark, root, shard_size=200) == len(victims)
+    assert not os.path.exists(os.path.join(root, "tombstones"))

@@ -418,3 +418,40 @@ def test_optimize_crash_resumes_from_next_maintenance_op(
     assert (_term_stats_fingerprint(spark, root)
             == _term_stats_fingerprint(spark, fresh))
     assert pre_fp != _term_stats_fingerprint(spark, root)  # delta landed
+
+
+def test_append_falls_back_when_footer_stats_missing(
+        spark, corpus, tmp_path_factory):
+    """footer_stats returns (n_rows, None, None) when any row group
+    lacks min/max statistics (a writer with statistics disabled); the
+    maintenance scalar reads must fall back to the DataFrame agg, not
+    TypeError on int(None)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    root = str(tmp_path_factory.mktemp("nostats_idx"))
+    IndexBuilder(spark, root, n_segments=2, shard_size=200).build(
+        _pages_df(spark, corpus[:120]), resume=False)
+    # strip statistics from the docs and term_freqs footers in place
+    for name in ("docs", "term_freqs"):
+        for f in Path(root, name).glob("*.parquet"):
+            t = pq.read_table(str(f))
+            pq.write_table(t, str(f), write_statistics=False)
+            # Spark wrote a Hadoop checksum sidecar; the in-place
+            # rewrite invalidates it (ChecksumException on read)
+            crc = f.parent / f".{f.name}.crc"
+            if crc.exists():
+                crc.unlink()
+    n_rows, mn, mx = catalog.footer_stats(root, "docs", "doc_id")
+    assert n_rows > 0 and mn is None and mx is None  # scenario is real
+    pre_max = catalog.read_table(spark, root, "docs").agg(
+        F.max("doc_id")).collect()[0][0]
+
+    n = ingest.append_pages(spark, root, _pages_df(spark, corpus[120:160]),
+                            shard_size=200)
+    assert n > 0
+    docs = catalog.read_table(spark, root, "docs")
+    lo = docs.where(F.col("doc_id") > pre_max).agg(
+        F.min("doc_id")).collect()[0][0]
+    assert lo == pre_max + 1  # ids continued after the true max
+    assert docs.select("doc_id").distinct().count() == docs.count()
