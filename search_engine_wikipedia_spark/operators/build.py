@@ -555,15 +555,23 @@ class IndexBuilder:
             "n_term_buckets": self.n_term_buckets,
         }
         recorded = catalog.read_schema_meta_or_none(root)
-        if resume and recorded is not None and recorded != meta:
-            # a resume with DIFFERENT settings would silently re-record
-            # metadata that no longer matches the persisted tables, and
-            # the query path / incremental ingest would then analyze
-            # with the wrong chain — fail instead
-            raise ValueError(
-                f"index at {root} was built with {recorded}, but this "
-                f"build requests {meta}; pass resume=False to rebuild"
-            )
+        if resume and recorded is not None:
+            # compare the SETTINGS keys only — the meta file also
+            # carries the per-table schema registry ("tables", appended
+            # by write_table as stages land), which a settings check
+            # must ignore
+            prior = {k: recorded.get(k) for k in meta}
+            if prior != meta:
+                # a resume with DIFFERENT settings would silently
+                # re-record metadata that no longer matches the
+                # persisted tables, and the query path / incremental
+                # ingest would then analyze with the wrong chain — fail
+                raise ValueError(
+                    f"index at {root} was built with {prior}, but this "
+                    f"build requests {meta}; pass resume=False to rebuild"
+                )
+        if recorded is not None:
+            meta = {**recorded, **meta}  # keep the table registry
         catalog.write_schema_meta(root, meta)
 
         n_docs = None

@@ -66,6 +66,129 @@ from .build import (
 def _append_table(df: DataFrame, root: str, name: str) -> None:
     df.write.mode("append").parquet(catalog.table_path(root, name))
     catalog.commit(catalog.table_path(root, name))
+    if catalog.recorded_table_schema(root, name) is None:
+        # first append CREATED the table (e.g. tombstones) — register
+        # its schema so later appends are guarded against the record,
+        # not against a re-inference that mixed-type drift can fool
+        catalog.record_table_schema(root, name, df.schema)
+
+
+def _refuse_under_catalog(spark: SparkSession, op: str) -> None:
+    """Maintenance ops drive the parquet-DIR protocol: journaled file
+    snapshots, hard-link swaps, tmp-dir renames.  None of those file
+    writes register with a table catalog — running them with one
+    configured would leave every reader serving the catalog's stale
+    snapshot while the directory silently diverges.  Refuse loudly:
+    under Iceberg the equivalents are the format's NATIVE transactional
+    ops (``DELETE FROM`` row-deltas, ``rewrite_data_files`` for
+    compact/optimize, ``MERGE INTO`` for upsert), which make the whole
+    journal/rollback machinery unnecessary."""
+    if catalog.iceberg_enabled(spark):
+        raise NotImplementedError(
+            f"{op} implements the parquet-dir maintenance protocol; "
+            f"with {catalog.CATALOG_CONF} set, use the catalog's "
+            f"native row-level operations instead (DELETE FROM / "
+            f"MERGE INTO / rewrite_data_files)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Single-writer enforcement: an exclusive advisory lock file.
+#
+# The maintenance journals (_INGEST/_COMPACT/_OPTIMIZE) assume ONE
+# writer — two concurrent maintenance CLIs would interleave journal
+# writes and could corrupt a table swap.  Every maintenance entry takes
+# an O_EXCL lock file carrying pid/host/timestamp; a second writer
+# refuses cleanly instead of corrupting.  A lock left by a crashed
+# process is broken when its pid is dead (same host) or its TTL
+# expired (the cross-host fallback) — crash recovery then proceeds via
+# the journals as usual.  Reentrant per process: maintenance ops call
+# each other (append → resume-pending compact → optimize), so only the
+# outermost entry acquires.
+# ---------------------------------------------------------------------------
+_LOCK_NAME = "_MAINTENANCE.lock"
+_LOCK_TTL_SEC = 6 * 3600
+_HELD_LOCKS: set[str] = set()
+
+
+class MaintenanceLockError(RuntimeError):
+    """Another maintenance writer holds the index lock."""
+
+
+def _maintenance_lock(root: str):
+    import contextlib
+    import json
+    import os
+    import socket
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        key = os.path.realpath(root)
+        if key in _HELD_LOCKS:
+            yield  # reentrant: an outer maintenance op holds it
+            return
+        if not os.path.isdir(root):
+            # nothing to lock — let the op raise its own (clearer)
+            # missing-index error downstream
+            yield
+            return
+        path = os.path.join(root, _LOCK_NAME)
+        me = {"pid": os.getpid(), "host": socket.gethostname(),
+              "ts": time.time()}
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(me, f)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = json.load(f)
+                except (OSError, ValueError):
+                    holder = {}
+                stale = (time.time() - holder.get("ts", 0)
+                         > _LOCK_TTL_SEC)
+                if not stale and holder.get("host") == me["host"]:
+                    try:
+                        os.kill(int(holder["pid"]), 0)
+                    except (OSError, KeyError, ValueError):
+                        stale = True  # holder process is gone
+                if not stale or attempt:
+                    raise MaintenanceLockError(
+                        f"index at {root} is locked by maintenance "
+                        f"writer {holder.get('pid')}@"
+                        f"{holder.get('host')} since {holder.get('ts')}"
+                        f" ({path}); concurrent maintenance would "
+                        f"corrupt the journals — retry after it "
+                        f"finishes, or remove the lock if that "
+                        f"process is known dead"
+                    )
+                with contextlib.suppress(OSError):
+                    os.remove(path)  # break the stale lock, retry once
+        _HELD_LOCKS.add(key)
+        try:
+            yield
+        finally:
+            _HELD_LOCKS.discard(key)
+            with contextlib.suppress(OSError):
+                os.remove(path)
+
+    return _cm()
+
+
+def _locked(fn):
+    """Wrap a maintenance entry point (signature ``(spark, root, ...)``)
+    in the exclusive writer lock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, root, *args, **kwargs):
+        with _maintenance_lock(root):
+            return fn(spark, root, *args, **kwargs)
+
+    return wrapper
 
 
 # ---------------------------------------------------------------------------
@@ -117,14 +240,24 @@ def _assert_append_schema(df: DataFrame, root: str, name: str) -> None:
     without this a type drift (e.g. an int32 id into an int64 column)
     lands silently and poisons every subsequent read — the reads then
     crash or not depending on which footer Spark samples for inference.
+
+    Checks against the schema RECORDED at write time (``_SCHEMA.json``
+    table registry) when available: re-inferring from the directory can
+    itself be fooled by an already-poisoned mixed-type dir (inference
+    samples one footer, so it reports whichever type that file holds).
+    Inference remains the fallback for indexes from builds older than
+    the registry.
     """
     import os
 
-    path = catalog.table_path(root, name)
-    if not os.path.exists(path):
-        return
-    existing = df.sparkSession.read.parquet(path).schema
-    want = [(f.name, f.dataType.simpleString()) for f in existing.fields]
+    want = catalog.recorded_table_schema(root, name)
+    if want is None:
+        path = catalog.table_path(root, name)
+        if not os.path.exists(path):
+            return
+        existing = df.sparkSession.read.parquet(path).schema
+        want = [(f.name, f.dataType.simpleString())
+                for f in existing.fields]
     got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     if want != got:
         raise ValueError(
@@ -202,6 +335,7 @@ def recover_incomplete(spark: SparkSession, root: str,
     return True
 
 
+@_locked
 def append_pages(
     spark: SparkSession,
     root: str,
@@ -221,24 +355,19 @@ def append_pages(
     so a foreachBatch epoch replay re-applies the batch in full instead
     of silently no-opping on the already-appended docs.
     """
+    _refuse_under_catalog(spark, "append_pages")
     _finish_swaps(root)
     _resume_pending_compact(spark, root, shard_size)
     _resume_pending_optimize(spark, root)
     recover_incomplete(spark, root, shard_size=shard_size)
     docs_tbl = catalog.read_table(spark, root, "docs")
-    if catalog.iceberg_enabled(spark):
-        stats = docs_tbl.agg(
-            F.count("*").alias("n"), F.max("doc_id").alias("mx")
-        ).collect()[0]
-        start_id = int(stats["mx"]) + 1 if stats["n"] else 0
-    else:
-        # footer stats: no Spark job for a driver-held scalar.  mx can
-        # be None on a NON-empty table too (a writer with statistics
-        # disabled) — fall back to the DataFrame agg, don't TypeError.
-        n_rows, _, mx = catalog.footer_stats(root, "docs", "doc_id")
-        if n_rows and mx is None:
-            mx = docs_tbl.agg(F.max("doc_id")).collect()[0][0]
-        start_id = int(mx) + 1 if n_rows else 0
+    # footer stats: no Spark job for a driver-held scalar.  mx can
+    # be None on a NON-empty table too (a writer with statistics
+    # disabled) — fall back to the DataFrame agg, don't TypeError.
+    n_rows, _, mx = catalog.footer_stats(root, "docs", "doc_id")
+    if n_rows and mx is None:
+        mx = docs_tbl.agg(F.max("doc_id")).collect()[0][0]
+    start_id = int(mx) + 1 if n_rows else 0
 
     # url-dedup against LIVE docs only: a tombstoned url is deletable
     # history, not presence — a recrawl of a deleted page must ingest
@@ -270,15 +399,11 @@ def append_pages(
     if n_new == 0:
         return 0
 
-    if catalog.iceberg_enabled(spark):
-        seg_tbl = catalog.read_table(spark, root, "term_freqs")
-        next_seg = int(seg_tbl.agg(F.max("seg_id")).collect()[0][0]) + 1
-    else:
-        _, _, seg_mx = catalog.footer_stats(root, "term_freqs", "seg_id")
-        if seg_mx is None:  # stats-less writer — same fallback as above
-            seg_mx = catalog.read_table(spark, root, "term_freqs").agg(
-                F.max("seg_id")).collect()[0][0]
-        next_seg = int(seg_mx) + 1
+    _, _, seg_mx = catalog.footer_stats(root, "term_freqs", "seg_id")
+    if seg_mx is None:  # stats-less writer — same fallback as above
+        seg_mx = catalog.read_table(spark, root, "term_freqs").agg(
+            F.max("seg_id")).collect()[0][0]
+    next_seg = int(seg_mx) + 1
 
     journal: dict = {"seg_id": next_seg, "before": {}, "steps": []}
     _write_journal(root, journal)
@@ -353,6 +478,7 @@ def _resume_pending_optimize(spark: SparkSession, root: str) -> None:
         optimize_segments(spark, root)
 
 
+@_locked
 def optimize_segments(spark: SparkSession, root: str,
                       max_segments: int = 8) -> int:
     """Coalesce delta segments — Lucene's forceMerge for this LSM.
@@ -383,6 +509,7 @@ def optimize_segments(spark: SparkSession, root: str,
     import os
     import shutil
 
+    _refuse_under_catalog(spark, "optimize_segments")
     _finish_swaps(root)
     jp = os.path.join(root, _OPTIMIZE_JOURNAL)
     if not os.path.exists(jp):
@@ -473,6 +600,7 @@ def optimize_segments(spark: SparkSession, root: str,
     return post_n
 
 
+@_locked
 def upsert_pages(spark: SparkSession, root: str, pages: DataFrame,
                  shard_size: int = 1_000_000,
                  n_term_buckets: int | None = None) -> tuple[int, int]:
@@ -674,8 +802,33 @@ def _affected_files(path: str, dead) -> tuple[list[str], list[str]]:
     return affected, unaffected
 
 
+def _dead_df(spark: SparkSession, root: str, dead) -> DataFrame:
+    """The dead-id set as a one-column DataFrame for join-based plans.
+
+    Source of truth is the ``tombstones`` TABLE when it still exists
+    (zero driver→executor data movement — executors read parquet), with
+    a ``createDataFrame`` fallback for the one resume window where a
+    crashed compact already dropped it (journal survives, rewrites are
+    no-op re-checks).  Never materialized into the plan as an IN-list:
+    a mass-delete's million-literal ``isin`` blows up Catalyst and
+    codegen, while an anti-join degrades gracefully (AQE broadcasts a
+    small dead set and shuffles a large one)."""
+    if catalog.table_exists(root, "tombstones"):
+        return catalog.read_table(spark, root, "tombstones").select("doc_id")
+    return spark.createDataFrame(
+        [(int(d),) for d in dead], schema="doc_id long")
+
+
+def _survivors(df: DataFrame, dead_df: DataFrame) -> DataFrame:
+    """Rows of ``df`` whose doc_id is not in the dead set — a left-anti
+    join, the scale-safe replacement for a driver-held ``isin`` filter
+    (see ``_dead_df``).  Column order of ``df`` is preserved, so the
+    rewritten files stay schema-identical to the hard-linked ones."""
+    return df.join(dead_df, "doc_id", "left_anti")
+
+
 def _selective_rewrite(spark: SparkSession, root: str, name: str,
-                       dead) -> int:
+                       dead, dead_df: DataFrame | None = None) -> int:
     """Remove rows with ``doc_id`` in ``dead`` from flat table
     ``name``, rewriting ONLY the parquet files whose doc_id footer
     range intersects the dead set; every untouched file is HARD-LINKED
@@ -687,6 +840,10 @@ def _selective_rewrite(spark: SparkSession, root: str, name: str,
     dead rows and NO Spark job ran at all.  Crash-safe under the same
     ``<name>.__tmp`` + rename protocol recovered by ``_finish_swaps``;
     the Spark staging dir is ``<name>.__scratch``.
+    The driver-held ``dead`` list feeds ONLY the footer min/max pruning
+    (a numpy binary search, cheap at any realistic tombstone count);
+    the row filter itself is an anti-join against ``dead_df`` so the
+    executed plan carries no literal id list.
     With Iceberg enabled this function is the rewrite-data-files action
     of a positional DELETE, driven by the same file-level stats.
     """
@@ -698,6 +855,8 @@ def _selective_rewrite(spark: SparkSession, root: str, name: str,
     from pathlib import Path
 
     final = catalog.table_path(root, name)
+    if dead_df is None:
+        dead_df = _dead_df(spark, root, dead)
     dead = np.asarray(sorted(int(d) for d in dead), dtype=np.int64)
     affected, unaffected = _affected_files(final, dead)
     if not affected:
@@ -710,8 +869,7 @@ def _selective_rewrite(spark: SparkSession, root: str, name: str,
     for f in unaffected:
         os.link(f, os.path.join(tmp, os.path.basename(f)))
     (
-        spark.read.parquet(*affected)
-        .where(~F.col("doc_id").isin([int(d) for d in dead]))
+        _survivors(spark.read.parquet(*affected), dead_df)
         .write.mode("overwrite").parquet(scratch)
     )
     import uuid
@@ -741,6 +899,7 @@ def _selective_rewrite(spark: SparkSession, root: str, name: str,
     return len(affected)
 
 
+@_locked
 def delete_urls(spark: SparkSession, root: str, urls) -> int:
     """Tombstone documents by url; returns how many were newly marked.
 
@@ -759,6 +918,7 @@ def delete_urls(spark: SparkSession, root: str, urls) -> int:
     """
     import os
 
+    _refuse_under_catalog(spark, "delete_urls")
     _finish_swaps(root)
     _resume_pending_compact(spark, root, 1_000_000)
     _resume_pending_optimize(spark, root)
@@ -787,6 +947,7 @@ def delete_urls(spark: SparkSession, root: str, urls) -> int:
     return n
 
 
+@_locked
 def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
             n_term_buckets: int | None = None) -> int:
     """Physically remove tombstoned docs; returns the count removed.
@@ -799,8 +960,9 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     the pagerank table and every external doc_id reference).
 
     Scale shape: one pushed-filter anti-join pass over docs/doc_stats/
-    term_freqs (isin on the tombstone set, bounded by compaction
-    cadence), re-encode of only the SEGMENTS that contained deleted
+    term_freqs (left-anti against the tombstones TABLE — no driver-held
+    id list in any plan, so a mass delete compacts with the same plan
+    shape as a takedown of ten), re-encode of only the SEGMENTS that contained deleted
     docs, and a tiered re-merge of only the tbucket partitions holding
     the deleted docs' terms — O(touched partitions), not O(index),
     except when a mass delete genuinely touches everything.
@@ -817,6 +979,7 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     import os
     import shutil
 
+    _refuse_under_catalog(spark, "compact")
     _finish_swaps(root)
     jp = os.path.join(root, _COMPACT_JOURNAL)
     if not os.path.exists(jp):
@@ -838,12 +1001,11 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     else:
         if not catalog.table_exists(root, "tombstones"):
             return 0
-        if catalog.iceberg_enabled(spark):
-            dead = [int(r["doc_id"]) for r in catalog.read_table(
-                spark, root, "tombstones").select("doc_id").collect()]
-        else:  # bounded by compaction cadence — pyarrow, no Spark job
-            dead = [int(v) for v in catalog.read_table_arrow(
-                root, "tombstones", ["doc_id"])["doc_id"].to_pylist()]
+        # driver copy feeds ONLY footer min/max pruning + the resume
+        # journal; every Spark plan joins the tombstones TABLE instead
+        # (bounded by compaction cadence — pyarrow, no Spark job)
+        dead = [int(v) for v in catalog.read_table_arrow(
+            root, "tombstones", ["doc_id"])["doc_id"].to_pylist()]
         if not dead:
             catalog.drop_table(root, "tombstones")
             return 0
@@ -873,8 +1035,11 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         tf_files, _ = _affected_files(
             catalog.table_path(root, "term_freqs"), dead_arr)
         if tf_files:
-            hit = (spark.read.parquet(*tf_files)
-                   .where(F.col("doc_id").isin(dead)))
+            # semi-join, not isin: the affected-set scan must survive a
+            # mass delete whose id list would not fit in a Catalyst
+            # expression tree (see _dead_df)
+            hit = spark.read.parquet(*tf_files).join(
+                _dead_df(spark, root, dead), "doc_id", "left_semi")
             bucket_col = F.pmod(
                 F.xxhash64("term"), F.lit(n_term_buckets)).cast("int")
             agg = hit.agg(
@@ -897,9 +1062,10 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
     # whose doc_id range holds a dead doc are rewritten, the rest are
     # hard-linked — O(touched files), and a resume where a table was
     # already swapped finds zero affected files and runs no job at all
-    _selective_rewrite(spark, root, "docs", dead)
-    _selective_rewrite(spark, root, "doc_stats", dead)
-    _selective_rewrite(spark, root, "term_freqs", dead)
+    dead_df = _dead_df(spark, root, dead)
+    _selective_rewrite(spark, root, "docs", dead, dead_df)
+    _selective_rewrite(spark, root, "doc_stats", dead, dead_df)
+    _selective_rewrite(spark, root, "term_freqs", dead, dead_df)
     catalog.write_table(
         field_stats_from_doc_stats(
             catalog.read_table(spark, root, "doc_stats")),
@@ -948,7 +1114,7 @@ def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
         # drop deleted rows; survivor priors stay as built (the link
         # graph prior is a build-time artifact, refreshed by the next
         # pagerank job, not by compaction)
-        _selective_rewrite(spark, root, "pagerank", dead)
+        _selective_rewrite(spark, root, "pagerank", dead, dead_df)
 
     catalog.drop_table(root, "tombstones")
     os.remove(jp)

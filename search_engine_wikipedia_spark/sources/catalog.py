@@ -36,10 +36,36 @@ def table_path(root: str, name: str) -> str:
     return os.path.join(root, name)
 
 
+CATALOG_CONF = "spark.sewiki.catalog"
+
+
+def catalog_name(spark: SparkSession) -> str | None:
+    """Name of THIS ENGINE's table catalog, or None (parquet-dir mode).
+
+    Opt-in via ``spark.sewiki.catalog=<name>`` — a dedicated conf, not
+    a sniff for any ``spark.sql.catalog.*`` key: a session that happens
+    to carry an unrelated catalog (someone else's lakehouse) must not
+    flip every index read onto a namespace that doesn't hold our
+    tables.  When the conf IS set, the matching
+    ``spark.sql.catalog.<name>`` implementation must exist — a dangling
+    pointer fails fast here instead of as a confusing
+    table-not-found at first read."""
+    name = spark.conf.get(CATALOG_CONF, None)
+    if not name:
+        return None
+    if spark.conf.get(f"spark.sql.catalog.{name}", None) is None:
+        raise ValueError(
+            f"{CATALOG_CONF}={name!r} but spark.sql.catalog.{name} is "
+            f"not configured — set both (the catalog implementation "
+            f"class and this opt-in) or neither"
+        )
+    return name
+
+
 def iceberg_enabled(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is configured on the session."""
-    confs = spark.sparkContext.getConf().getAll()
-    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+    """True when this engine's own catalog is configured (see
+    ``catalog_name``)."""
+    return catalog_name(spark) is not None
 
 
 def write_table(
@@ -53,8 +79,9 @@ def write_table(
     """Write a stage table + commit manifest.  Returns the path."""
     path = table_path(root, name)
     spark = df.sparkSession
-    if iceberg_enabled(spark):
-        writer = df.writeTo(f"idx.{name}")
+    cat = catalog_name(spark)
+    if cat is not None:
+        writer = df.writeTo(f"{cat}.{name}")
         if partition_by:
             from pyspark.sql import functions as F
 
@@ -66,6 +93,7 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     commit(path, meta)
+    record_table_schema(root, name, df.schema)
     return path
 
 
@@ -113,8 +141,9 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a stage table — the read half of the Iceberg seam: with a
     catalog configured the table is resolved by name (snapshot reads,
     hidden-partition pruning come free); otherwise the parquet dir."""
-    if iceberg_enabled(spark):
-        return spark.table(f"idx.{name}")
+    cat = catalog_name(spark)
+    if cat is not None:
+        return spark.table(f"{cat}.{name}")
     return spark.read.parquet(table_path(root, name))
 
 
@@ -169,6 +198,31 @@ def read_schema_meta_or_none(root: str) -> dict | None:
     if not p.exists():
         return None
     return json.loads(p.read_text())
+
+
+def record_table_schema(root: str, name: str, schema) -> None:
+    """Record a table's committed (column, type) list in the index's
+    schema meta — the authoritative reference the append guard checks
+    against.  Re-inferring from the directory is NOT equivalent: Spark
+    samples one footer for inference, so a dir already poisoned with
+    mixed physical types can LIE depending on which file gets sampled,
+    and the guard would then wave through exactly the drift it exists
+    to block."""
+    meta = read_schema_meta_or_none(root) or {}
+    tables = meta.setdefault("tables", {})
+    tables[name] = [[f.name, f.dataType.simpleString()]
+                    for f in schema.fields]
+    write_schema_meta(root, meta)
+
+
+def recorded_table_schema(root: str, name: str) -> list | None:
+    """The (column, type) list recorded at write time, or None for
+    tables from builds older than the registry."""
+    meta = read_schema_meta_or_none(root) or {}
+    entry = meta.get("tables", {}).get(name)
+    if entry is None:
+        return None
+    return [(c, t) for c, t in entry]
 
 
 # ---------------------------------------------------------------------------

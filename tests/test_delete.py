@@ -377,3 +377,80 @@ def test_crash_mid_first_delete_does_not_brick_index(
     # and the rest of the lifecycle still works end-to-end
     assert ingest.compact(spark, root, shard_size=200) == len(victims)
     assert not os.path.exists(os.path.join(root, "tombstones"))
+
+
+def test_mass_delete_rewrite_plan_has_no_inlist(spark, tmp_path_factory,
+                                                monkeypatch):
+    """A 100k-tombstone compact rewrite must not materialize the dead
+    ids into the plan: a literal ``isin`` of that size blows up the
+    Catalyst expression tree / codegen, while a left-anti join against
+    the tombstones TABLE keeps the plan O(1) in the tombstone count
+    (AQE broadcasts a small dead set, shuffles a huge one).  Exercises
+    ``_selective_rewrite`` directly on a synthetic flat table so the
+    dead set can be realistically large without building a 100k-doc
+    index; footer pruning must still hard-link the untouched files."""
+    root = str(tmp_path_factory.mktemp("mass_del"))
+    n_docs, n_dead = 200_000, 100_000
+    (spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).alias("payload"))
+     .repartition(8, "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.parquet(catalog.table_path(root, "docs")))
+    catalog.commit(catalog.table_path(root, "docs"))
+    # dead = the low half of the id space → the files whose footer
+    # range sits entirely in the high half stay hard-linked
+    dead = list(range(n_dead))
+    ingest._append_table(
+        spark.range(n_dead).select(F.col("id").alias("doc_id")),
+        root, "tombstones")
+
+    plans = []
+    orig = ingest._survivors
+
+    def spy(df, dead_df):
+        out = orig(df, dead_df)
+        plans.append(out._jdf.queryExecution().toString())
+        return out
+
+    monkeypatch.setattr(ingest, "_survivors", spy)
+    n_rewritten = ingest._selective_rewrite(spark, root, "docs", dead)
+    assert n_rewritten > 0
+    assert plans, "rewrite ran no survivor filter"
+    for p in plans:
+        assert " IN (" not in p and "isin" not in p, \
+            "driver-held id list leaked into the plan"
+        assert "LeftAnti" in p
+    survivors = spark.read.parquet(catalog.table_path(root, "docs"))
+    assert survivors.count() == n_docs - n_dead
+    assert survivors.agg(F.min("doc_id")).collect()[0][0] == n_dead
+    assert (survivors.where(F.col("payload") != F.col("doc_id") * 2)
+            .count() == 0)  # column order/values survived the rewrite
+
+
+def test_full_compact_plans_have_no_inlist(spark, corpus,
+                                           tmp_path_factory, monkeypatch):
+    """End-to-end compact on a real index: every survivor-filter plan
+    it executes is an anti-join, never an IN-list, and results still
+    match the fresh-build equivalence the other tests assert."""
+    root = str(tmp_path_factory.mktemp("compact_plan"))
+    _build(spark, root, _pages_df(spark, corpus[:150]))
+    victims = _victim_urls(spark, root, QUERIES[2], k=3)
+    assert ingest.delete_urls(spark, root, victims) == len(victims)
+
+    plans = []
+    orig = ingest._survivors
+
+    def spy(df, dead_df):
+        out = orig(df, dead_df)
+        plans.append(out._jdf.queryExecution().toString())
+        return out
+
+    monkeypatch.setattr(ingest, "_survivors", spy)
+    assert ingest.compact(spark, root, shard_size=200) == len(victims)
+    assert len(plans) >= 3  # docs, doc_stats, term_freqs at minimum
+    for p in plans:
+        assert " IN (" not in p and "isin" not in p
+        assert "LeftAnti" in p
+    post = _search_by_url(spark, root, QUERIES[:4])
+    assert not {u for _, u in post[QUERIES[2]]} & set(victims)

@@ -455,3 +455,121 @@ def test_append_falls_back_when_footer_stats_missing(
         F.min("doc_id")).collect()[0][0]
     assert lo == pre_max + 1  # ids continued after the true max
     assert docs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_append_guard_uses_recorded_schema_not_inference(
+        spark, corpus, tmp_path_factory):
+    """The append guard must check against the schema RECORDED at write
+    time (_SCHEMA.json table registry), not a re-inference of the dir:
+    once a dir is poisoned with a drifted physical type, inference
+    samples a footer and can report the DRIFTED type — the guard would
+    then wave through exactly the class of corruption it exists to
+    block.  Here the dir is fully poisoned to int32 (so any sampled
+    footer lies), yet the recorded int64 schema still rejects an int32
+    append and still accepts a correct int64 one."""
+    root = str(tmp_path_factory.mktemp("schema_reg"))
+    IndexBuilder(spark, root, n_segments=2, shard_size=200).build(
+        _pages_df(spark, corpus[:60]), resume=False)
+    assert catalog.recorded_table_schema(root, "docs") is not None
+
+    docs_path = catalog.table_path(root, "docs")
+    good = spark.read.parquet(docs_path)
+    drifted = good.withColumn("doc_id", F.col("doc_id").cast("int"))
+    # poison: replace EVERY file with the int32 variant, so a dir
+    # re-inference deterministically reports the lie
+    import shutil
+    tmp = docs_path + ".poison"
+    drifted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(docs_path)
+    import os
+    os.rename(tmp, docs_path)
+    inferred = spark.read.parquet(docs_path).schema["doc_id"].dataType
+    assert inferred.simpleString() == "int"  # inference now lies
+
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        ingest._assert_append_schema(drifted, root, "docs")
+    # and the registry is authoritative for the CORRECT shape too
+    ingest._assert_append_schema(good, root, "docs")
+
+
+def test_first_append_registers_table_schema(spark, corpus,
+                                             tmp_path_factory):
+    """A table born from a maintenance append (tombstones) registers
+    its schema at creation, so later appends are guarded against the
+    record from day one."""
+    root = str(tmp_path_factory.mktemp("schema_tomb"))
+    IndexBuilder(spark, root, n_segments=2, shard_size=200).build(
+        _pages_df(spark, corpus[:60]), resume=False)
+    assert catalog.recorded_table_schema(root, "tombstones") is None
+    url = catalog.read_table(spark, root, "docs").select(
+        "url").first()["url"]
+    assert ingest.delete_urls(spark, root, [url]) == 1
+    rec = catalog.recorded_table_schema(root, "tombstones")
+    assert rec is not None and ("doc_id", "bigint") in rec
+
+
+def test_concurrent_maintenance_writer_refuses_cleanly(
+        spark, corpus, tmp_path_factory):
+    """Two maintenance writers on the same index must not interleave
+    journals: the second refuses with MaintenanceLockError while the
+    first's lock is held by a LIVE process (simulated with pid 1 —
+    always alive, never ours), and no journal or table write happens."""
+    import json as _json
+    import os
+    import time
+
+    root = str(tmp_path_factory.mktemp("locked_idx"))
+    IndexBuilder(spark, root, n_segments=2, shard_size=200).build(
+        _pages_df(spark, corpus[:60]), resume=False)
+    lock = os.path.join(root, ingest._LOCK_NAME)
+    import socket
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1, "host": socket.gethostname(),
+                    "ts": time.time()}, f)
+    before = sorted(os.listdir(root))
+    for op in (
+        lambda: ingest.append_pages(
+            spark, root, _pages_df(spark, corpus[60:80]), shard_size=200),
+        lambda: ingest.delete_urls(spark, root, ["http://x/none"]),
+        lambda: ingest.compact(spark, root),
+        lambda: ingest.optimize_segments(spark, root),
+    ):
+        with pytest.raises(ingest.MaintenanceLockError, match="locked"):
+            op()
+    assert sorted(os.listdir(root)) == before  # nothing half-applied
+    os.remove(lock)
+
+
+def test_stale_maintenance_lock_is_broken(spark, corpus,
+                                          tmp_path_factory):
+    """A lock left by a CRASHED writer (dead pid on this host) must not
+    wedge the index forever: the next writer breaks it and proceeds
+    through normal journal-based crash recovery."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import time
+
+    root = str(tmp_path_factory.mktemp("stale_lock_idx"))
+    IndexBuilder(spark, root, n_segments=2, shard_size=200).build(
+        _pages_df(spark, corpus[:60]), resume=False)
+    # a real pid that existed and is now dead
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock = os.path.join(root, ingest._LOCK_NAME)
+    with open(lock, "w") as f:
+        _json.dump({"pid": proc.pid, "host": socket.gethostname(),
+                    "ts": time.time()}, f)
+    n = ingest.append_pages(spark, root,
+                            _pages_df(spark, corpus[60:100]),
+                            shard_size=200)
+    assert n > 0
+    assert not os.path.exists(lock)  # released after the op
+
+    # TTL fallback (the cross-host case): old timestamp, foreign host
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1, "host": "some-other-host",
+                    "ts": time.time() - ingest._LOCK_TTL_SEC - 60}, f)
+    assert ingest.delete_urls(spark, root, ["http://x/none"]) == 0
+    assert not os.path.exists(lock)

@@ -175,7 +175,7 @@ def test_iceberg_seam_routes_through_writeTo(spark, monkeypatch, tmp_path):
         def createOrReplace(self):
             calls["created"] = True
 
-    monkeypatch.setattr(catalog, "iceberg_enabled", lambda s: True)
+    monkeypatch.setattr(catalog, "catalog_name", lambda s: "idx")
     df = spark.range(4).selectExpr("id AS term", "cast(id % 2 AS int) AS tbucket")
     # patch the concrete class (pyspark.sql.classic.DataFrame in Spark 4+
     # overrides the pyspark.sql.DataFrame base)
@@ -192,10 +192,61 @@ def test_iceberg_seam_routes_through_writeTo(spark, monkeypatch, tmp_path):
     assert catalog.manifest(str(tmp_path / "iceroot"), "postings") is None
 
 
-def test_iceberg_enabled_detects_catalog_conf(spark):
-    """The gate keys on spark.sql.catalog.* session conf — absent in
-    the test session (parquet fallback is the tested path)."""
+def test_iceberg_enabled_is_a_dedicated_opt_in(spark):
+    """The gate keys on the DEDICATED ``spark.sewiki.catalog`` conf —
+    absent in the test session (parquet fallback is the tested path) —
+    and specifically NOT on a sniff for any ``spark.sql.catalog.*``
+    key: a session carrying someone else's lakehouse catalog must not
+    flip index reads onto a namespace that doesn't hold our tables."""
     assert catalog.iceberg_enabled(spark) is False
+    spark.conf.set("spark.sql.catalog.other", "org.example.SomeCatalog")
+    try:
+        assert catalog.iceberg_enabled(spark) is False  # unrelated
+        spark.conf.set(catalog.CATALOG_CONF, "other")
+        assert catalog.catalog_name(spark) == "other"  # explicit opt-in
+    finally:
+        spark.conf.unset("spark.sql.catalog.other")
+        spark.conf.unset(catalog.CATALOG_CONF)
+
+
+def test_dangling_catalog_opt_in_fails_fast(spark):
+    """spark.sewiki.catalog naming a catalog with no implementation
+    conf is a misconfiguration — fail at the gate, not as a confusing
+    table-not-found at first read."""
+    spark.conf.set(catalog.CATALOG_CONF, "ghost")
+    try:
+        with pytest.raises(ValueError, match="spark.sql.catalog.ghost"):
+            catalog.catalog_name(spark)
+    finally:
+        spark.conf.unset(catalog.CATALOG_CONF)
+
+
+def test_maintenance_refuses_under_catalog(spark, tmp_path):
+    """The maintenance ops implement the parquet-DIR protocol
+    (journaled file snapshots, hard-link swaps) — file writes a table
+    catalog never sees.  With a catalog configured they must refuse
+    loudly instead of silently diverging the directory from the
+    catalog's snapshot (readers would serve stale data forever); the
+    Iceberg-native equivalents are DELETE FROM / MERGE INTO /
+    rewrite_data_files."""
+    from search_engine_wikipedia_spark.operators import ingest
+
+    spark.conf.set("spark.sql.catalog.lake", "org.example.SomeCatalog")
+    spark.conf.set(catalog.CATALOG_CONF, "lake")
+    try:
+        root = str(tmp_path / "cat_idx")
+        for op in (
+            lambda: ingest.append_pages(spark, root, spark.range(0)),
+            lambda: ingest.delete_urls(spark, root, ["u"]),
+            lambda: ingest.compact(spark, root),
+            lambda: ingest.optimize_segments(spark, root),
+        ):
+            with pytest.raises(NotImplementedError,
+                               match="parquet-dir maintenance"):
+                op()
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+        spark.conf.unset(catalog.CATALOG_CONF)
 
 
 def test_iceberg_seam_routes_reads_through_table(spark, monkeypatch,
@@ -210,7 +261,7 @@ def test_iceberg_seam_routes_reads_through_table(spark, monkeypatch,
         seen["name"] = name
         return real
 
-    monkeypatch.setattr(catalog, "iceberg_enabled", lambda s: True)
+    monkeypatch.setattr(catalog, "catalog_name", lambda s: "idx")
     monkeypatch.setattr(spark, "table", fake_table, raising=True)
     got = catalog.read_table(spark, str(tmp_path / "noexist"), "docs")
     assert seen["name"] == "idx.docs"
