@@ -545,6 +545,76 @@ def _wand_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Whoosh-syntax workload over the engine corpus vocabulary — NOT /
+#: parens / field: / ^boost / wildcards, all forms the relational
+#: referee supports (the NOT-of-group form is referee-rejected by
+#: design, covered in tests/test_qsyntax.py instead)
+SYNTAX_ENGINE_QUERIES = [
+    "spark AND NOT window",
+    "hash NOT merge",
+    "(spark join) OR window",
+    "customer OR filter scan",
+    "title:spark",
+    "text:merge title:join",
+    "spark^3 join",
+    "sp* fast",
+    "j?in hash",
+    "merge AND NOT sc*",
+]
+
+
+def _syntax_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way one-batch agreement for the query-SYNTAX surface:
+    every (query, doc) in the block-max kernel's batched top-10
+    (``search_batch``) must appear with the same BM25F score in BOTH
+    independent batch paths — the broadcast posting-cache plan
+    (``search_many_broadcast``) and the WAND-free relational referee
+    (``search_batch_relational``) — for a workload of NOT / parens /
+    field: / ^boost / wildcard queries submitted as ONE batch.  The
+    per-query referee agreement is covered in tests/test_qsyntax.py;
+    this entry pins the BATCHED paths, where per-query kernels share a
+    pruned scan and could in principle cross wires.  Same join/
+    tolerance protocol as ``_wand_consistency``; rows-only for the
+    driver (Porter stemming is not ANSI-SQL-expressible), all-``agree``
+    asserted in tests/test_entry_contract.py."""
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex, search_batch, search_batch_relational,
+        search_many_broadcast,
+    )
+
+    root = _engine_index(spark, sf_dir)
+    idx = SearchIndex(spark, root)
+    wres = (
+        search_batch(idx, SYNTAX_ENGINE_QUERIES, limit=10, exp=False,
+                     page_rank=False, group="AND")
+        .select("query_id", "rank", "doc_id",
+                F.round("score", 6).alias("wand_score"))
+    )
+    bc = search_many_broadcast(
+        idx, SYNTAX_ENGINE_QUERIES, limit=15, group="AND"
+    ).select("query_id", "doc_id", F.col("score").alias("bcast_score"))
+    rel = search_batch_relational(
+        idx, SYNTAX_ENGINE_QUERIES, limit=15, group="AND"
+    ).select("query_id", "doc_id", F.col("score").alias("rel_score"))
+    return (
+        wres.join(bc, ["query_id", "doc_id"], "left")
+        .join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id", "rank", "doc_id", "wand_score",
+            "bcast_score", "rel_score",
+            (
+                F.col("bcast_score").isNotNull()
+                & F.col("rel_score").isNotNull()
+                & (F.abs(F.col("wand_score") - F.col("bcast_score"))
+                   <= 2e-6)
+                & (F.abs(F.col("wand_score") - F.col("rel_score"))
+                   <= 2e-6)
+            ).alias("agree"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload pipeline with REAL byte-level features (entropy /
     mean byte / printable density — numpy kernel over Arrow batches),
@@ -665,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full engine (WAND kernel; rows-only) + its relational referee
         "wand_topk": _wand_topk,
         "wand_consistency": _wand_consistency,
+        "syntax_consistency": _syntax_consistency,
         "multimodal_features": _multimodal_features,
     }
     return q

@@ -112,6 +112,16 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     from search_engine_wikipedia_spark.operators import ingest as ING
     from search_engine_wikipedia_spark.sources import catalog as CAT
 
+    def rewrite_counts():
+        """files-rewritten per table, from the compact lineage rows
+        (stage compact_rewrite:<tbl>, n_terms = files rewritten)."""
+        return sorted(
+            (r["stage"], int(r["n_terms"]), str(r["build_ts"]))
+            for r in CAT.read_lineage(spark, root)
+            .where(F.col("stage").startswith("compact_rewrite:"))
+            .collect()
+        )
+
     n_victims = max(10, n_docs // 100)
     victim_urls = [
         r["url"]
@@ -120,6 +130,27 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     ]
     timed("delete_urls", lambda: ING.delete_urls(spark, root, victim_urls))
     timed("compact", lambda: ING.compact(spark, root))
+    seen = rewrite_counts()
+    files_1pct = {s.split(":", 1)[1]: n for s, n, _ in seen}
+
+    # --- 5. MASS delete: 20% of survivors, spread across the id space
+    # (every 5th doc) — the worst case for the selective rewrite, since
+    # a spread victim set intersects essentially every file's footer
+    # range and most tbuckets.  This is the cadence where the
+    # O(touched-files) claim has to be paid in full, not dodged.
+    mass_urls = [
+        r["url"]
+        for r in CAT.read_table(spark, root, "docs")
+        .where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        .select("url").collect()
+    ]
+    timed("delete_20pct",
+          lambda: ING.delete_urls(spark, root, mass_urls))
+    timed("compact_20pct", lambda: ING.compact(spark, root))
+    files_20pct = {
+        s.split(":", 1)[1]: n
+        for s, n, _ in rewrite_counts() if (s, n, _) not in set(seen)
+    }
 
     total = round(time.perf_counter() - t_all, 3)
     result = {
@@ -134,6 +165,10 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
         "queries_per_sec": queries_per_sec,
         "latency_ms_p50": latency_p50,
         "latency_ms_p95": latency_p95,
+        "n_deleted_1pct": n_victims,
+        "n_deleted_20pct": len(mass_urls),
+        "files_rewritten_1pct": files_1pct,
+        "files_rewritten_20pct": files_20pct,
     }
     print(json.dumps(result), file=out, flush=True)
     spark.stop()

@@ -131,19 +131,69 @@ def _fake_feature(payload: bytes) -> np.ndarray:
             .astype(np.float32) / 255.0)
 
 
+#: thumbnail side used by the real decode path — small enough that the
+#: per-image resample cost is bounded regardless of source resolution
+THUMB_SIDE = 16
+
+
+def _pil_image_module():
+    """``PIL.Image`` if Pillow is importable, else None — the extras
+    gate: this sandbox ships no codec libs, a real deployment that
+    installs Pillow activates the decode path with zero code change."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_feature(image_mod, payload: bytes) -> np.ndarray:
+    """Decode one image payload → FEATURE_DIM floats: per-channel
+    mean + per-channel std over a ``THUMB_SIDE``² RGB thumbnail, plus
+    log-scaled original width/height.  Undecodable payloads (truncated
+    / non-image bytes — routine in crawl data) yield the zero vector
+    instead of failing the task."""
+    import io
+
+    try:
+        with image_mod.open(io.BytesIO(payload)) as img:
+            w, h = img.size
+            arr = np.asarray(
+                img.convert("RGB").resize((THUMB_SIDE, THUMB_SIDE)),
+                dtype=np.float32,
+            ) / 255.0
+    except Exception:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    return np.concatenate([
+        arr.mean(axis=(0, 1)),
+        arr.std(axis=(0, 1)),
+        np.array([np.log1p(w) / 10.0, np.log1p(h) / 10.0],
+                 dtype=np.float32),
+    ]).astype(np.float32)
+
+
 def decode_image_batch(payloads: pd.Series,
                        deterministic_stub: bool = False) -> pd.Series:
-    """STUB — image decode (PIL/libvips not present in this container).
+    """Image decode: REAL when Pillow is importable (thumbnail
+    color/shape features via ``_pil_feature``), else gated.
 
-    Real deployment: ``PIL.Image.open(io.BytesIO(p))`` → resize →
-    normalized float tensor.  With ``deterministic_stub`` a seeded fake
-    keeps the pipeline testable end-to-end.
+    This container has no codec libs, so without Pillow the call
+    raises ``NotImplementedError`` unless ``deterministic_stub=True``,
+    in which case a seeded content-derived fake keeps the pipeline
+    (schema, partitioning, Arrow batch shape) testable end-to-end.
+    The gate is import-time per worker process — installing Pillow in
+    a real cluster image activates the decode with no code change.
     """
-    if not deterministic_stub:
+    if deterministic_stub:
+        return payloads.map(lambda p: _fake_feature(bytes(p or b"")))
+    image_mod = _pil_image_module()
+    if image_mod is None:
         raise NotImplementedError(
-            "image decode requires PIL/libvips — not in this container"
+            "image decode requires Pillow (PIL) — not in this container; "
+            "pass deterministic_stub=True for the content-derived fake"
         )
-    return payloads.map(lambda p: _fake_feature(bytes(p or b"")))
+    return payloads.map(
+        lambda p: _pil_feature(image_mod, bytes(p or b"")))
 
 
 def extract_features(media: DataFrame, batch_rows: int = 256,

@@ -573,14 +573,47 @@ GLOSSES.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Inventory seam: the WSD/expansion mechanics below consume whichever
+# inventory is ACTIVE — by default the pinned fixture above, or the
+# REAL WordNet database when ``SEWIKI_WORDNET_DIR`` points at an
+# unpacked WNdb ``dict/`` dir (``plans/wordnet_db.py`` parses the
+# public index.noun/data.noun format and derives Wu-Palmer from the
+# genuine hypernym graph).  Swapping in real WordNet is a data task:
+# no code below this comment changes.
+# ---------------------------------------------------------------------------
+from search_engine_wikipedia_spark.plans import wordnet_db as _wndb
+
+
+class _PinnedInventory:
+    """The checked-in fixture, shaped like ``WordNetInventory``."""
+
+    synsets = SYNSETS
+    sense_lemmas = SENSE_LEMMAS
+    glosses = GLOSSES
+
+    @staticmethod
+    def wup(sense_a: str, sense_b: str) -> float:
+        return WUP.get((sense_a, sense_b), 0.0)
+
+
+_ACTIVE = _wndb.from_env() or _PinnedInventory()
+
+
+def use_inventory(inv) -> None:
+    """Swap the active synset inventory (None → pinned fixture)."""
+    global _ACTIVE
+    _ACTIVE = inv if inv is not None else _PinnedInventory()
+
+
 def wup_similarity(sense_a: str, sense_b: str) -> float:
-    """Pinned stand-in for ``Synset.wup_similarity`` (symmetric)."""
-    return WUP.get((sense_a, sense_b), 0.0)
+    """``Synset.wup_similarity`` against the active inventory."""
+    return _ACTIVE.wup(sense_a, sense_b)
 
 
 def _senses(token: str) -> tuple[str, ...]:
-    """wn.synsets(token, wn.NOUN) stand-in (morphy lowercases)."""
-    return SYNSETS.get(token.lower(), ())
+    """wn.synsets(token, wn.NOUN) (morphy lowercases)."""
+    return tuple(_ACTIVE.synsets.get(token.lower(), ()))
 
 
 class Disambiguator:
@@ -596,7 +629,8 @@ class Disambiguator:
         context = {t.lower() for t in tokens}
         return max(
             senses,
-            key=lambda s: len(context & set(GLOSSES.get(s, "").split())),
+            key=lambda s: len(
+                context & set(_ACTIVE.glosses.get(s, "").split())),
         )
 
     @classmethod
@@ -651,7 +685,8 @@ class Expander:
 
     def getRelatedTerms(self, best_sense: str | None) -> list[str]:
         if best_sense is not None:
-            return self.stopwordRemove(list(SENSE_LEMMAS[best_sense]))
+            return self.stopwordRemove(
+                list(_ACTIVE.sense_lemmas[best_sense]))
         return []
 
     def expansion(self, text: str) -> list[str]:

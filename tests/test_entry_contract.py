@@ -83,6 +83,18 @@ def test_wand_consistency_all_agree(spark):
     assert not bad, bad[:5]
 
 
+def test_syntax_consistency_all_agree(spark):
+    """The query-SYNTAX workload (NOT/parens/field:/^boost/wildcards)
+    submitted as ONE batch: the WAND kernel batch, the broadcast
+    posting-cache path, and the relational referee must agree on every
+    (query, doc, score) row."""
+    rows = QUERIES["syntax_consistency"](spark, SF_DIR).collect()
+    assert rows
+    assert len({r["query_id"] for r in rows}) >= 8  # workload ran wide
+    bad = [r.asDict() for r in rows if not r["agree"]]
+    assert not bad, bad[:5]
+
+
 def test_all_queries_have_callables():
     for name in ORACLES:
         assert name in QUERIES

@@ -573,3 +573,47 @@ def test_stale_maintenance_lock_is_broken(spark, corpus,
                     "ts": time.time() - ingest._LOCK_TTL_SEC - 60}, f)
     assert ingest.delete_urls(spark, root, ["http://x/none"]) == 0
     assert not os.path.exists(lock)
+
+
+def test_upsert_replay_is_exactly_once(spark, corpus, tmp_path_factory):
+    """The streaming-replay scenario: an epoch's upsert fully applies,
+    the process dies BEFORE the checkpoint commits, and foreachBatch
+    re-runs the same batch.  The replay must be a full no-op — without
+    content-aware tombstoning it would tombstone the just-ingested
+    (now live) copy and re-ingest a ghost under a new doc_id, inflating
+    df/N until the next compact (scores drift vs a non-crashed run)."""
+    root = str(tmp_path_factory.mktemp("replay_idx"))
+    IndexBuilder(spark, root, n_segments=4, shard_size=200).build(
+        _pages_df(spark, corpus[:200]), resume=False)
+    indexed = {r["url"] for r in catalog.read_table(spark, root, "docs")
+               .select("url").collect()}
+    batch = [dict(p, text="qqreplay new revision body " * 4)
+             for p in corpus[:200] if p["url"] in indexed][:3]
+    batch += list(corpus[200:220])  # plus some brand-new pages
+
+    n_dead, n_new = ingest.upsert_pages(
+        spark, root, _pages_df(spark, batch), shard_size=200)
+    assert n_dead == 3 and n_new > 0
+    fp = _term_stats_fingerprint(spark, root)
+    res = _search_by_url(spark, root, QUERIES[:6] + ["qqreplay"])
+    n_tomb = len(SearchIndex(spark, root).tombstones)
+
+    # the epoch replay: identical batch, applied again
+    assert ingest.upsert_pages(
+        spark, root, _pages_df(spark, batch), shard_size=200) == (0, 0)
+    assert _term_stats_fingerprint(spark, root) == fp
+    assert _search_by_url(spark, root, QUERIES[:6] + ["qqreplay"]) == res
+    assert len(SearchIndex(spark, root).tombstones) == n_tomb
+    # each upserted url has exactly ONE live copy (no ghosts)
+    live = catalog.read_table(spark, root, "docs").join(
+        catalog.read_table(spark, root, "tombstones").select("doc_id"),
+        "doc_id", "left_anti")
+    dup = (live.groupBy("url").count().where("count > 1").count())
+    assert dup == 0
+
+    # and a THIRD revision of the same urls still upserts (the
+    # unchanged-skip must key on content, not on "seen before")
+    batch3 = [dict(p, text="qqreplay third revision " * 4)
+              for p in batch[:3]]
+    assert ingest.upsert_pages(
+        spark, root, _pages_df(spark, batch3), shard_size=200) == (3, 3)

@@ -61,3 +61,20 @@ def test_emit_partition_metrics_lands_in_manifests(spark, built_index):
     assert len(rows) == n  # sole emitter for this fixture
     emitted = sum(int(r["n_docs"]) for r in rows)
     assert emitted == catalog.read_table(spark, root, "docs").count()
+
+
+def test_build_skew_gate(spark, built_index):
+    """CI gate on partition balance: a merge regression that unbalances
+    the tbucket layout (e.g. a broken salt or hash) shows up as one
+    giant postings file — skew_ratio ≈ n_files.  At fixture scale the
+    healthy layout measures ~1.5 on postings (32 buckets × ~24 rows is
+    noisy) and ~1.1 on the doc-keyed tables; the bounds below are wide
+    enough for sampling noise, tight enough that any structural
+    imbalance (ratio ≥ n_files/2) fails loudly."""
+    root, _ = built_index
+    postings = M.skew_report(root, "postings")
+    assert postings["n_files"] >= 8
+    assert postings["skew_ratio"] <= 3.0, postings
+    for name, bound in (("term_freqs", 2.0), ("docs", 2.0)):
+        rep = M.skew_report(root, name)
+        assert rep["skew_ratio"] <= bound, rep

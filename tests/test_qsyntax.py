@@ -19,6 +19,7 @@ from search_engine_wikipedia_spark.plans.query import (
     parse_query,
     search_batch,
     search_batch_relational,
+    search_many_broadcast,
 )
 
 TOL = 1e-9
@@ -290,3 +291,37 @@ def test_parser_never_crashes(text, group):
     except qs.QuerySyntaxError:
         return
     assert _well_formed(tree)
+
+
+def test_one_batch_three_way_agreement(spark, sidx):
+    """NOT and wildcard queries submitted together as ONE batch must
+    agree across all three distributed paths — the WAND kernel batch
+    (search_batch), the broadcast posting-cache plan
+    (search_many_broadcast), and the relational referee — per (query,
+    doc, score).  The per-query agreement above can't catch a batched
+    path crossing wires between queries sharing one pruned scan."""
+    idx, searcher, _ = sidx
+    batch = [q for q in SYNTAX_QUERIES if "NOT (" not in q]
+    assert any("NOT" in q for q in batch) and any(
+        "*" in q or "?" in q for q in batch)
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+        return out
+
+    wand = by_query(search_batch(idx, batch, limit=10, exp=False,
+                                 page_rank=False).collect())
+    bcast = by_query(search_many_broadcast(idx, batch,
+                                           limit=10).collect())
+    rel = by_query(search_batch_relational(idx, batch,
+                                           limit=10).collect())
+    # same protocol as wand_consistency: per (query, doc) with a 2e-6
+    # tolerance — the paths sum float leaf scores in different orders,
+    # so a doc on a rounding boundary may sit one ulp apart
+    for qid, q in enumerate(batch):
+        for other in (bcast, rel):
+            assert set(wand.get(qid, {})) == set(other.get(qid, {})), q
+            for d, s in wand.get(qid, {}).items():
+                assert abs(s - other[qid][d]) <= 2e-6, (q, d)

@@ -1,0 +1,129 @@
+"""WNdb loader: parse the real WordNet database format and drive the
+expansion pipeline from it.
+
+The sample below is hand-authored but byte-exact WNdb format
+(``wndb(5WN)``): 2-digit-hex word counts, hex lex_ids, 3-digit pointer
+counts, ``@`` hypernym quads, ``|``-separated glosses, two-space
+preamble lines — so a real WordNet 3.x ``dict/`` directory loads
+through the identical code path (set ``SEWIKI_WORDNET_DIR`` and the
+engine expands with genuine synsets; no code change).
+"""
+
+import pytest
+
+from search_engine_wikipedia_spark.plans import expansion as ex
+from search_engine_wikipedia_spark.plans import wordnet_db as wn
+
+DATA_NOUN = """\
+  1 This preamble line mimics the WNdb copyright header and must be skipped.
+00000001 03 n 01 entity 0 000 | that which is perceived or known to exist
+00000002 03 n 01 animal 0 001 @ 00000001 n 0000 | a living organism
+00000003 03 n 03 dog 0 domestic_dog 0 canis_familiaris 0 001 @ 00000002 n 0000 | a member of the genus canis
+00000004 03 n 02 cat 0 true_cat 0 001 @ 00000002 n 0000 | feline mammal usually having thick soft fur
+00000005 03 n 01 artifact 0 001 @ 00000001 n 0000 | a man-made object
+00000006 03 n 02 computer 0 computing_machine 0 001 @ 00000005 n 0000 | a machine for performing calculations
+00000007 03 n 01 mouse 0 001 @ 00000002 n 0000 | any of numerous small rodents
+00000008 03 n 02 mouse 0 computer_mouse 0 001 @ 00000005 n 0000 | a hand-operated pointing device for a computer
+00000009 03 n 01 keyboard 0 001 @ 00000005 n 0000 | device consisting of a set of keys
+00000010 03 n 01 abstraction 0 000 | a general concept formed by extracting common features
+00000011 03 n 02 idea 0 thought 0 001 @ 00000010 n 0000 | the content of cognition
+"""
+
+INDEX_NOUN = """\
+  1 This preamble line mimics the WNdb copyright header and must be skipped.
+abstraction n 1 0 1 0 00000010
+animal n 1 1 @ 1 0 00000002
+artifact n 1 1 @ 1 0 00000005
+cat n 1 1 @ 1 1 00000004
+computer n 1 1 @ 1 0 00000006
+dog n 1 1 @ 1 1 00000003
+entity n 1 0 1 0 00000001
+idea n 1 1 @ 1 0 00000011
+keyboard n 1 1 @ 1 0 00000009
+mouse n 2 1 @ 2 1 00000007 00000008
+"""
+
+
+@pytest.fixture(scope="module")
+def dict_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wndict")
+    (d / "data.noun").write_text(DATA_NOUN)
+    (d / "index.noun").write_text(INDEX_NOUN)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def inv(dict_dir):
+    return wn.load_wordnet_dir(dict_dir)
+
+
+def test_parse_senses_in_index_order(inv):
+    # index.noun offset order IS most-frequent-first sense order
+    assert inv.synsets["mouse"] == ("mouse.n.01", "mouse.n.02")
+    assert inv.synsets["dog"] == ("dog.n.01",)
+    # names follow nltk convention: first lemma + sense position
+    assert inv.sense_lemmas["dog.n.01"] == (
+        "dog", "domestic_dog", "canis_familiaris")
+    assert inv.sense_lemmas["mouse.n.02"] == ("mouse", "computer_mouse")
+    assert inv.glosses["mouse.n.02"].startswith("a hand-operated")
+    # preamble lines skipped, hypernym quads parsed
+    assert inv.hypernyms["mouse.n.02"] == ("artifact.n.01",)
+    assert "entity.n.01" not in inv.hypernyms  # root has no parents
+
+
+def test_wup_matches_hand_computation(inv):
+    # lcs=animal (max_depth 1): 2*2/(1+1+2*2)
+    assert inv.wup("dog.n.01", "cat.n.01") == pytest.approx(2 / 3)
+    # lcs=artifact: same shape
+    assert inv.wup("mouse.n.02", "computer.n.01") == pytest.approx(2 / 3)
+    # the two mouse senses only meet at the root entity (depth 1)
+    assert inv.wup("mouse.n.01", "mouse.n.02") == pytest.approx(1 / 3)
+    # ancestor pair: lcs is the ancestor itself, d2=0
+    assert inv.wup("dog.n.01", "entity.n.01") == pytest.approx(0.5)
+    # identical sense
+    assert inv.wup("dog.n.01", "dog.n.01") == 1.0
+    # disconnected trees -> simulated root: 2/(2+3+2)
+    assert inv.wup("idea.n.01", "dog.n.01") == pytest.approx(2 / 7)
+    # unknown sense
+    assert inv.wup("dog.n.01", "nope.n.01") == 0.0
+
+
+def test_expander_runs_on_loaded_inventory(inv):
+    """The full reference WSD+expansion mechanics over the LOADED
+    graph: 'mouse' disambiguates by context via graph-WUP, and the
+    lemma-cleanup pipeline (substring removal, _ -> space, len>2)
+    applies unchanged."""
+    ex.use_inventory(inv)
+    try:
+        # computer context -> pointing-device sense -> computer_mouse
+        assert ex.Expander().expansion("mouse keyboard") == ["computer"]
+        # animal context -> rodent sense (sole lemma == token -> empty)
+        assert ex.Expander().expansion("mouse cat") == ["true"]
+        # lesk over loaded glosses: 'pointing' appears only in m2 gloss
+        got = ex.Expander(disambiguate_fn="lesk").expansion(
+            "mouse pointing device")
+        assert "computer" in got
+    finally:
+        ex.use_inventory(None)
+    # fixture restored
+    assert ex.Expander().expansion("Apple") == [
+        "orchard", "tree", "malus", "pumila"]
+
+
+def test_env_var_opt_in(dict_dir, monkeypatch):
+    wn.from_env.cache_clear()
+    monkeypatch.setenv("SEWIKI_WORDNET_DIR", dict_dir)
+    inv = wn.from_env()
+    assert inv is not None and "mouse" in inv.synsets
+    wn.from_env.cache_clear()
+    monkeypatch.delenv("SEWIKI_WORDNET_DIR")
+    assert wn.from_env() is None
+    wn.from_env.cache_clear()
+
+
+def test_bad_dir_fails_fast(monkeypatch, tmp_path):
+    wn.from_env.cache_clear()
+    monkeypatch.setenv("SEWIKI_WORDNET_DIR", str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        wn.from_env()
+    wn.from_env.cache_clear()
