@@ -967,11 +967,18 @@ def delete_urls(spark: SparkSession, root: str, urls) -> int:
     recover_incomplete(spark, root)
     docs_tbl = catalog.read_table(spark, root, "docs")
     if isinstance(urls, DataFrame):
-        url_df = urls.select("url")
+        # A DataFrame victim feed (e.g. a takedown table, a recrawl
+        # manifest) can be corpus-scaled — do NOT hint a broadcast;
+        # AQE broadcasts a small side on its own and shuffles a big one.
+        url_df = urls.select("url").distinct()
     else:
-        url_df = spark.createDataFrame([(u,) for u in urls], "url string")
+        # A Python list is by construction driver-resident and small;
+        # the hint spares AQE the size estimation.
+        url_df = F.broadcast(
+            spark.createDataFrame(
+                [(u,) for u in urls], "url string").distinct())
     victims = (
-        docs_tbl.join(F.broadcast(url_df.distinct()), "url")
+        docs_tbl.join(url_df, "url")
         .select(F.col("doc_id").cast("long").alias("doc_id"), "url")
     )
     if catalog.table_exists(root, "tombstones"):

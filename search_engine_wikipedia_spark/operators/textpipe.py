@@ -662,8 +662,13 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
             .where(F.col("sdf") > max_shingle_df)
             .select("shingle")
         )
-        # |hot| ≤ total_postings/cap — small by construction, broadcastable
-        sh_j = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # |hot| ≤ total_postings/cap — usually small, but at web scale
+        # (10^13 shingle postings / cap 1000 → up to 10^10 hot rows)
+        # an unconditional broadcast hint is an OOM; leave the choice
+        # to AQE.  When it picks a shuffled anti-join, the hash
+        # partitioning on `shingle` is the SAME one the self-join
+        # below needs, so the exchange is reused, not added.
+        sh_j = sh.join(hot, "shingle", "left_anti")
     else:
         sh_j = sh
     left = sh_j.select(F.col("doc_id").alias("a"), "shingle")

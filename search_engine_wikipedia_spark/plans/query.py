@@ -793,8 +793,23 @@ def search_batch(
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id")
+    # Two-step lookup so the corpus-sized pagerank table is never
+    # broadcast (one row per document — OOM at 10^12 docs) and never
+    # shuffled: (1) inner-join pr against the tiny k·|Q| candidate-id
+    # set with the TINY side hinted (inner joins may build either
+    # side, so this streams pr once), then (2) left-join the now
+    # ≤k·|Q|-row pr subset back onto results.  A single outer join
+    # can't do this: BroadcastHashJoin must build the non-preserved
+    # side, which here is the corpus-sized one.
+    # results (the WAND-kernel output) now feeds two consumers — the
+    # id set and the final join — so pin it or the Python kernels run
+    # twice; the ContextCleaner reclaims the blocks when the DataFrame
+    # is dropped.
+    results = results.persist()
+    pr_hits = pr.join(
+        F.broadcast(results.select("doc_id").distinct()), "doc_id")
     blended = (
-        results.join(F.broadcast(pr), "doc_id", "left")
+        results.join(F.broadcast(pr_hits), "doc_id", "left")
         .withColumn("max_rel", F.max("pr").over(w))
         .withColumn(
             "mult",

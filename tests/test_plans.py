@@ -197,3 +197,63 @@ def test_dedup_label_join_is_size_adaptive(spark, docs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Every BroadcastExchange's subtree from a printed plan tree
+    (children are the subsequent lines printed at greater depth)."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*("))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d, sub = depth(ln), []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_pagerank_blend_never_broadcasts_the_corpus(spark, built_index):
+    """The rank blend must stream the corpus-sized pagerank table and
+    broadcast only the k·|Q|-row candidate side: pr is first
+    inner-joined against the tiny id set (build side = ids), and only
+    the resulting ≤k·|Q|-row pr subset is broadcast into the outer
+    join.  A pagerank scan under ANY BroadcastExchange means the plan
+    ships one row per document to every executor — OOM at 10^12 docs."""
+    from search_engine_wikipedia_spark.plans.query import (
+        SearchIndex,
+        search_batch,
+    )
+
+    root, _ = built_index
+    idx = SearchIndex(spark, root)
+    res = search_batch(idx, ["roman empire", "greek fire"], limit=5,
+                       exp=False, page_rank=True)
+    res.collect()  # AQE finalizes the plan at execution
+    p = res._jdf.queryExecution().executedPlan().toString()
+    subs = _broadcast_subtrees(p)
+    assert subs, p[:800]  # the tiny sides ARE broadcast
+    for sub in subs:
+        if "pagerank" not in sub:
+            continue
+        # the pr scan may appear under an exchange ONLY as the
+        # STREAMED input of a row-bounding inner join whose output is
+        # what actually ships — i.e. the join line must print before
+        # the scan line, with no FileScan in between (a FileScan as
+        # the exchange's direct child = broadcasting the raw corpus).
+        lines = sub.splitlines()
+        join_at = next((i for i, ln in enumerate(lines)
+                        if "BroadcastHashJoin" in ln and "Inner" in ln),
+                       None)
+        scan_at = next(i for i, ln in enumerate(lines)
+                       if "pagerank" in ln)
+        assert join_at is not None and join_at < scan_at, sub[:600]
+        assert not any("FileScan" in ln for ln in lines[:join_at]), \
+            sub[:600]
