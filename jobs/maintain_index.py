@@ -6,13 +6,16 @@ Lucene-shaped lifecycle is drivable without writing code:
 
   append    — add new pages as a delta segment (url-deduped, tiered merge)
   upsert    — recrawl: tombstone live copies of the batch urls, append
-  delete    — tombstone urls (hidden from every query path immediately)
+  delete    — tombstone urls, or every doc matching a --where SQL
+              predicate (hidden from every query path immediately)
   compact   — physically remove tombstoned docs (selective rewrites)
   optimize  — coalesce delta segments (forceMerge)
 
 Usage (cluster):
   spark-submit --master <url> --py-files sewiki.zip \
       jobs/maintain_index.py append --index-dir /data/idx --input /data/delta
+  spark-submit ... jobs/maintain_index.py delete --index-dir /data/idx \
+      --where "url LIKE 'https://spam.example/%'"
   spark-submit ... jobs/maintain_index.py delete --index-dir /data/idx \
       --urls-file takedowns.txt
   spark-submit ... jobs/maintain_index.py compact --index-dir /data/idx
@@ -45,6 +48,9 @@ def main() -> None:
                    help="pages as a catalog table name (append/upsert)")
     p.add_argument("--urls-file",
                    help="newline-separated url list (delete)")
+    p.add_argument("--where",
+                   help="SQL predicate over the docs table (delete), "
+                        "e.g. \"url LIKE 'https://spam.example/%%'\"")
     p.add_argument("--shard-size", type=int, default=1_000_000)
     p.add_argument("--max-segments", type=int, default=8)
     p.add_argument("--metrics-out", default="-")
@@ -76,12 +82,16 @@ def main() -> None:
             spark, args.index_dir, pages(), shard_size=args.shard_size)
         out["n_tombstoned"], out["n_appended"] = n_dead, n_new
     elif args.op == "delete":
-        if not args.urls_file:
-            p.error("delete requires --urls-file")
-        with open(args.urls_file) as f:
-            urls = [u.strip() for u in f if u.strip()]
-        out["n_tombstoned"] = ingest.delete_urls(
-            spark, args.index_dir, urls)
+        if args.where:
+            out["n_tombstoned"] = ingest.delete_where(
+                spark, args.index_dir, args.where)
+        elif args.urls_file:
+            with open(args.urls_file) as f:
+                urls = [u.strip() for u in f if u.strip()]
+            out["n_tombstoned"] = ingest.delete_urls(
+                spark, args.index_dir, urls)
+        else:
+            p.error("delete requires --urls-file or --where")
     elif args.op == "compact":
         out["n_removed"] = ingest.compact(
             spark, args.index_dir, shard_size=args.shard_size)

@@ -997,6 +997,33 @@ def delete_urls(spark: SparkSession, root: str, urls) -> int:
 
 
 @_locked
+def delete_where(spark: SparkSession, root: str, predicate) -> int:
+    """Tombstone every live document whose ``docs`` row matches a
+    predicate (a SQL string or a ``Column``) — the takedown shape real
+    crawls need (``"url LIKE 'https://spam.example/%'"``, a lang, a
+    crawl-date range) without materializing a victim list anywhere.
+
+    Thin wrapper over :func:`delete_urls`'s DataFrame path: the
+    predicate is pushed into the docs scan (column-pruned to ``url``),
+    the victim set stays distributed end-to-end, and all the
+    tombstone-lifecycle guarantees (idempotence, journaling, lock,
+    instant query-path exclusion, compact convergence) are inherited.
+    The recovery preamble runs BEFORE the docs read (the lock is
+    reentrant, so delete_urls' own preamble is then a no-op): a
+    DataFrame snapshots its file listing at read time, and listing a
+    crashed, not-yet-recovered table would pin files that recovery is
+    about to remove.
+    """
+    _refuse_under_catalog(spark, "delete_where")
+    _finish_swaps(root)
+    _resume_pending_compact(spark, root, 1_000_000)
+    _resume_pending_optimize(spark, root)
+    recover_incomplete(spark, root)
+    docs = catalog.read_table(spark, root, "docs")
+    return delete_urls(spark, root, docs.where(predicate).select("url"))
+
+
+@_locked
 def compact(spark: SparkSession, root: str, shard_size: int = 1_000_000,
             n_term_buckets: int | None = None) -> int:
     """Physically remove tombstoned docs; returns the count removed.

@@ -454,3 +454,34 @@ def test_full_compact_plans_have_no_inlist(spark, corpus,
         assert "LeftAnti" in p
     post = _search_by_url(spark, root, QUERIES[:4])
     assert not {u for _, u in post[QUERIES[2]]} & set(victims)
+
+
+def test_delete_where_predicate_takedown(spark, corpus,
+                                         tmp_path_factory):
+    """delete_where tombstones exactly the docs matching a SQL
+    predicate over the docs table — the domain-takedown shape — with
+    no driver-side victim list, inheriting the full tombstone
+    lifecycle (idempotent re-run, vanish-everywhere, live counts)."""
+    from search_engine_wikipedia_spark.sources import catalog as CAT
+
+    root = str(tmp_path_factory.mktemp("delw_idx"))
+    _build(spark, root, _pages_df(spark, corpus[:120]))
+    docs = CAT.read_table(spark, root, "docs")
+    pred = "url LIKE '%1_'"  # urls whose second-to-last char is 1
+    expected = {r["url"] for r in docs.where(pred).select("url").collect()}
+    assert 5 <= len(expected) <= 30  # predicate actually selects a band
+
+    n = ingest.delete_where(spark, root, pred)
+    assert n == len(expected)
+    # idempotent: re-running the same predicate tombstones nothing new
+    assert ingest.delete_where(spark, root, pred) == 0
+
+    tomb = {r["url"]
+            for r in CAT.read_table(spark, root, "tombstones").collect()}
+    assert tomb == expected
+    # tombstoned docs vanish from search results immediately
+    s = WikiSearcher(SearchIndex(spark, root))
+    for q in QUERIES[:4]:
+        res = s.search(q, limit=20, exp=False, page_rank=False)
+        hits = {d["link"] for d in res["docs"]}
+        assert not (hits & expected), (q, hits & expected)
