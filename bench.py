@@ -30,8 +30,30 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
+    from search_engine_wikipedia_spark import hostprobe
     from search_engine_wikipedia_spark.operators.build import IndexBuilder
     from search_engine_wikipedia_spark.plans.query import SearchIndex, search_batch
+
+    # ---- host-window gate (same instrument as jobs/scaling_bench.py) ----
+    # This box's burst-credit throttling inflated BENCH_r04 ~1.3-1.4×
+    # uniformly across every op, including pure-numpy ones no commit
+    # touched; an ungated wall-clock number here is unadjudicable.  The
+    # probe runs at 8 threads — the calibrated gauge with four rounds of
+    # recorded history (clean windows read 0.92-1.07; drifted ones
+    # 0.72-0.85) — NOT at ``cpus``, where the host's steady-state ~30%
+    # steal under 32 busy threads would mask window-to-window drift.
+    # Gate: wait up to SPARK_GRAFT_PROBE_WAIT sec for a clean window; if
+    # it never clears, run anyway but LABEL the output (the per-round
+    # driver must still get a BENCH json) — "window_clean": false means
+    # "compare rates, not this run's absolute walls".
+    probe_pre: dict | None = None
+    window_clean = None
+    if os.environ.get("SPARK_GRAFT_PROBE_GATE", "1") != "0":
+        min_ratio = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.93"))
+        max_wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT", "900"))
+        probe_pre = hostprobe.wait_for_clean_window(
+            8, min_ratio=min_ratio, max_wait=max_wait)
+        window_clean = probe_pre["per_core_ratio"] >= min_ratio
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = (
@@ -153,6 +175,14 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     }
 
     total = round(time.perf_counter() - t_all, 3)
+    probe_post = (hostprobe.spin_probe(8)
+                  if probe_pre is not None else None)
+    if window_clean is not None and probe_post is not None:
+        window_clean = bool(
+            window_clean
+            and probe_post["per_core_ratio"]
+            >= float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.93")) - 0.03
+        )
     result = {
         "metric": "index-build docs/sec + WAND query batch + pipeline ops",
         "value": total,
@@ -169,6 +199,9 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
         "n_deleted_20pct": len(mass_urls),
         "files_rewritten_1pct": files_1pct,
         "files_rewritten_20pct": files_20pct,
+        "spin_probe_pre": probe_pre,
+        "spin_probe_post": probe_post,
+        "window_clean": window_clean,
     }
     print(json.dumps(result), file=out, flush=True)
     spark.stop()

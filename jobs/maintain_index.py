@@ -56,6 +56,12 @@ def main() -> None:
     p.add_argument("--metrics-out", default="-")
     args = p.parse_args()
 
+    if args.where and args.urls_file:
+        # one victim set per invocation: silently ignoring one of the
+        # two would let an operator believe both sets were tombstoned
+        p.error("--where and --urls-file are mutually exclusive; "
+                "run two delete invocations instead")
+
     from pyspark.sql import SparkSession
 
     from search_engine_wikipedia_spark.operators import ingest

@@ -28,6 +28,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from search_engine_wikipedia_spark.hostprobe import (  # noqa: E402
+    spin_probe,
+    wait_for_clean_window,
+)
 
 
 def spark_submit(script: str, cores: int, extra: list[str],
@@ -57,62 +63,6 @@ def spark_submit(script: str, cores: int, extra: list[str],
         m = json.loads(f.read())
     m["subprocess_wall_sec"] = round(wall, 1)
     return m
-
-
-
-
-def spin_probe(cores_high: int, secs: float = 3.0) -> dict:
-    """Pure-CPU throttle probe: per-core spin rate at 1 thread vs
-    ``cores_high`` pinned threads.  A ratio ≥0.9 means the window is
-    clean enough that job-scaling numbers measure OUR code, not the
-    host's burst-credit throttling (this box swings 3-4× across
-    minutes when credits deplete)."""
-    import multiprocessing as mp
-
-    def spin(q, dur):
-        end = time.perf_counter() + dur
-        n = 0
-        while time.perf_counter() < end:
-            for _ in range(10000):
-                n += 1
-        q.put(n)
-
-    def rate(nproc):
-        q = mp.Queue()
-        ps = [mp.Process(target=spin, args=(q, secs)) for _ in range(nproc)]
-        for pr in ps:
-            pr.start()
-        for pr in ps:
-            pr.join()
-        return sum(q.get() for _ in ps) / secs / nproc
-
-    r1 = rate(1)
-    rn = rate(cores_high)
-    return {"threads": cores_high, "per_core_ratio": round(rn / r1, 3),
-            "rate_1": round(r1), "rate_n": round(rn)}
-
-
-def wait_for_clean_window(cores_high: int, min_ratio: float = 0.9,
-                          max_wait: float = 1500.0) -> dict:
-    """Block until the spin probe reports a clean window (per-core
-    ratio ≥ ``min_ratio``) or ``max_wait`` elapses.
-
-    Back-to-back interleaving is NOT enough on this host: a 20-minute
-    full-tilt low-parallelism run drains the burst-credit bucket right
-    before every high-parallelism run, systematically punishing the
-    high side.  Gating each timed run on a recovered probe gives both
-    sides the same starting credit state; the reading is recorded next
-    to the run it gated.
-    """
-    t0 = time.perf_counter()
-    while True:
-        pr = spin_probe(cores_high)
-        pr["waited_sec"] = round(time.perf_counter() - t0, 1)
-        if pr["per_core_ratio"] >= min_ratio or pr["waited_sec"] > max_wait:
-            return pr
-        print(f"  throttled window (ratio {pr['per_core_ratio']}) — "
-              "waiting 60s for credit refill", file=sys.stderr, flush=True)
-        time.sleep(60)
 
 
 def main() -> None:

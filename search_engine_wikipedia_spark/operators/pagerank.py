@@ -64,6 +64,7 @@ def pagerank(
     eps: float = EPS,
     max_iter: int = MAX_ITER,
     checkpoint_every: int = 8,
+    cache_tmp: bool = True,
 ) -> DataFrame:
     """→ (doc_id, pr), matching SNAP/Berkhin semantics above.
 
@@ -72,6 +73,15 @@ def pagerank(
     the per-iteration shuffle is the groupBy(dst).  Convergence (L1
     delta < eps) is checked driver-side each iteration, mirroring
     SNAP's early exit.
+
+    ``cache_tmp`` pins the per-iteration damped-inflow table so the
+    contribution join+groupBy executes exactly ONCE per iteration even
+    though two actions consume it (the dangling-mass sum and the L1
+    delta) — AQE re-plans per action, so an uncached ``tmp`` would run
+    the contribution shuffle twice, up to 2× the whole PageRank cost at
+    MaxIter=100 on a crawl-scale graph.  False exists only as the
+    negative control for the instrumentation test that guards this
+    invariant (tests/test_pagerank.py).
     """
     n_docs = nodes.count()
     if n_docs == 0:
@@ -105,6 +115,11 @@ def pagerank(
                 (F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("tmp"),
             )
         )
+        if cache_tmp:
+            tmp = tmp.cache()
+        # action 1 (dangling-mass sum) materializes tmp's cache; action
+        # 2 (the delta, via new_ranks) re-reads that n_docs-row cache
+        # instead of re-executing the contribution join+groupBy
         total = tmp.agg(F.sum("tmp")).collect()[0][0] or 0.0
         leaked = (1.0 - total) / n_docs
         new_ranks = tmp.select(
@@ -119,6 +134,10 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
             .collect()[0][0]
         ) or 0.0
+        if cache_tmp:
+            # new_ranks' own cache materialized during the delta action,
+            # so tmp's blocks are no longer needed
+            tmp.unpersist()
         ranks.unpersist()
         ranks = new_ranks
         if diff < eps:

@@ -187,27 +187,53 @@ class IndexStats:
     avg_len: dict
 
 
+# Default driver-side posting-fetch cap (postings per term).  Memory
+# math: a collected posting row is the delta+varbyte doc_id/tf/fl blobs
+# (~2-4 bytes/posting compressed) plus Row overhead amortized across
+# the ~128k-posting blocks, so 10M postings ≈ 30-80 MB of blobs and a
+# comparable transient decode buffer — well inside any sane driver
+# heap, while a web-scale head term (10^9+ postings, multi-GB) is
+# refused before a single blob leaves parquet.  Opt OUT (uncapped)
+# requires an explicit ``max_postings_per_term=None``.
+DEFAULT_MAX_POSTINGS_PER_TERM = 10_000_000
+
+# sentinel: distinguishes "caller said None = uncapped" from "caller
+# said nothing = default cap", and lets tests monkeypatch the module
+# default without re-binding the __init__ signature
+_CAP_DEFAULT = object()
+
+
+class HotTermError(ValueError):
+    """A query term's posting list exceeds the driver-fetch cap; the
+    query must run through the distributed ``search_batch`` plan."""
+
+
 class SearchIndex:
     """Open a built index (reference ``openOrBuild`` read path).
 
     ``max_postings_per_term`` guards the driver-side posting fetch: at
     web scale a head term's blobs are GBs, and collecting them into the
     driver (the interactive/serving cache path) is a driver-OOM hazard.
-    With a cap set, a cheap column-pruned pre-scan reads only
-    ``term_df`` (the blob columns never leave parquet) and a term over
-    the cap raises with a pointer to the distributed ``search_batch``
-    plan, which never collects postings.  Default None = uncapped (the
-    local/test regime).
+    A cheap column-pruned pre-scan reads only ``term_df`` (the blob
+    columns never leave parquet) and a term over the cap raises
+    ``HotTermError`` with a pointer to the distributed ``search_batch``
+    plan, which never collects postings.  The cap defaults ON
+    (``DEFAULT_MAX_POSTINGS_PER_TERM``) so the unsafe collect requires
+    an explicit ``max_postings_per_term=None`` opt-out.
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_terms: bool = True,
-                 max_postings_per_term: int | None = None):
+                 max_postings_per_term: int | None = _CAP_DEFAULT):
         from ..functions.textproc import ANALYZERS
 
         self.spark = spark
         self.index_dir = index_dir
-        self.max_postings_per_term = max_postings_per_term
+        self.max_postings_per_term = (
+            DEFAULT_MAX_POSTINGS_PER_TERM
+            if max_postings_per_term is _CAP_DEFAULT
+            else max_postings_per_term
+        )
         # analyze queries with the chains the index was BUILT with
         # (recorded at build time; defaults = reference schema A3/A2)
         meta = catalog.read_schema_meta(index_dir)
@@ -281,7 +307,7 @@ class SearchIndex:
                 )
                 if heavy:
                     worst = max(heavy, key=lambda r: r["term_df"])
-                    raise ValueError(
+                    raise HotTermError(
                         f"term {worst['field']}:{worst['term']!r} has "
                         f"{worst['term_df']} postings > cap "
                         f"{self.max_postings_per_term}; route this query "
@@ -802,10 +828,17 @@ def search_batch(
     # can't do this: BroadcastHashJoin must build the non-preserved
     # side, which here is the corpus-sized one.
     # results (the WAND-kernel output) now feeds two consumers — the
-    # id set and the final join — so pin it or the Python kernels run
-    # twice; the ContextCleaner reclaims the blocks when the DataFrame
-    # is dropped.
-    results = results.persist()
+    # id set and the final join — so materialize it once.
+    # localCheckpoint, NOT persist(): a SQL persist registers the plan
+    # in the session CacheManager, which holds the storage blocks until
+    # an explicit unpersist()/clearCache() — the ContextCleaner does
+    # not reclaim SQL cache entries on GC, so every page_rank=True
+    # batch in a long-lived serving session would leak executor
+    # storage.  localCheckpoint's RDD blocks ARE ContextCleaner-
+    # reclaimed when the DataFrame is GC'd (same pattern as
+    # ingest.delete_urls), and eager=True runs the Python kernels
+    # exactly once.
+    results = results.localCheckpoint()
     pr_hits = pr.join(
         F.broadcast(results.select("doc_id").distinct()), "doc_id")
     blended = (

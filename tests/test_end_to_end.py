@@ -209,8 +209,38 @@ def test_fetch_postings_size_guard(spark, built_index):
     idx = SearchIndex(spark, root, max_postings_per_term=1)
     with pytest.raises(ValueError, match="search_batch"):
         idx.fetch_postings([("text", "roman")])
-    # uncapped default still serves
+    # the default cap (10M) never fires at corpus scale; explicit
+    # None opts out of the pre-check entirely
     assert SearchIndex(spark, root).fetch_postings([("text", "roman")])
+    assert SearchIndex(
+        spark, root, max_postings_per_term=None
+    ).fetch_postings([("text", "roman")])
+
+
+def test_default_cap_routes_hot_term_to_search_batch(
+        spark, built_index, monkeypatch):
+    """A DEFAULT-configured SearchIndex (no cap argument) refuses a
+    term whose term_df exceeds ``DEFAULT_MAX_POSTINGS_PER_TERM``,
+    while the distributed ``search_batch`` plan — which never collects
+    postings — answers the same query.
+
+    The corpus is small, so instead of building a 10M-posting term we
+    shrink the module default: the index is still opened through the
+    DEFAULT code path (no ``max_postings_per_term`` argument)."""
+    from search_engine_wikipedia_spark.plans import query as Q
+
+    root, _ = built_index
+    # "roman" appears in many fixture docs; cap below its term_df
+    monkeypatch.setattr(Q, "DEFAULT_MAX_POSTINGS_PER_TERM", 1)
+    idx = Q.SearchIndex(spark, root)          # default-configured
+    assert idx.max_postings_per_term == 1
+    searcher = Q.WikiSearcher(idx)
+    with pytest.raises(Q.HotTermError, match="search_batch"):
+        searcher.search("Roman Empire", limit=10, exp=False,
+                        page_rank=False, with_meta=False)
+    rows = Q.search_batch(idx, ["Roman Empire"], limit=10, exp=False,
+                          page_rank=False).collect()
+    assert len(rows) > 0
 
 
 def test_n_res_is_whoosh_estimated_length(searcher):

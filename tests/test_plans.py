@@ -257,3 +257,55 @@ def test_pagerank_blend_never_broadcasts_the_corpus(spark, built_index):
         assert join_at is not None and join_at < scan_at, sub[:600]
         assert not any("FileScan" in ln for ln in lines[:join_at]), \
             sub[:600]
+
+
+def _job_group_task_count(spark, group: str) -> int:
+    """Completed tasks across the UNIQUE stages of a job group (a
+    stage shared/skipped between jobs is counted once)."""
+    st = spark.sparkContext.statusTracker()
+    stage_ids = set()
+    for jid in st.getJobIdsForGroup(group):
+        info = st.getJobInfo(jid)
+        if info:
+            stage_ids.update(info.stageIds)
+    total = 0
+    for sid in stage_ids:
+        si = st.getStageInfo(sid)
+        if si:
+            total += si.numCompletedTasks
+    return total
+
+
+def test_pagerank_one_contribs_execution_per_iteration(spark):
+    """Each PageRank iteration runs TWO actions over the damped-inflow
+    table (dangling-mass sum, then L1 delta); with ``tmp`` cached the
+    contribution join+groupBy shuffle executes once per iteration, and
+    the second action reads the n_docs-row cache.  AQE re-plans per
+    action, so the uncached negative control re-executes the
+    contribution shuffle for the delta — measurably more tasks for the
+    SAME graph, SAME iterations, SAME result.  At MaxIter=100 on a
+    crawl-scale graph that re-execution is up to 2× the whole job."""
+    from search_engine_wikipedia_spark.operators.pagerank import pagerank
+
+    nodes = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 60) for i in range(60)]
+        + [(i, (i * 3 + 2) % 60) for i in range(0, 60, 2)],
+        "src long, dst long",
+    )
+    tasks, ranks = {}, {}
+    sc = spark.sparkContext
+    for flag in (True, False):
+        group = f"pg_cache_{flag}"
+        sc.setJobGroup(group, "pagerank shuffle-count instrumentation")
+        try:
+            rows = pagerank(spark, nodes, edges, max_iter=3, eps=0.0,
+                            cache_tmp=flag).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        tasks[flag] = _job_group_task_count(spark, group)
+        ranks[flag] = sorted(
+            (int(r["doc_id"]), round(float(r["pr"]), 12)) for r in rows
+        )
+    assert ranks[True] == ranks[False]          # identical math
+    assert tasks[True] < tasks[False], tasks    # one shuffle per iter
