@@ -26,6 +26,7 @@ Spark UDFs — no per-row Python at the DataFrame level.
 from __future__ import annotations
 
 import re
+from os import path as _os_path
 from typing import Iterable
 
 import pandas as pd
@@ -274,12 +275,19 @@ def analyze_text_accent(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # A5 — LemmatizingAnalyzer (reference analyzers.py:49-61 + the
 # LemmatizerFilter of analysis/filters.py: nltk WordNetLemmatizer, i.e.
-# morphy noun rules against the WordNet lexicon).  No WordNet in this
-# environment: a pinned irregular-noun table plus the morphy noun
-# suffix substitutions with conservative guards stands in for the
-# lexicon-membership check.
+# morphy noun rules against the WordNet lexicon).  The irregular-noun
+# exception list is real WordNet data: the vendored ``noun.exc``
+# extract (``data/wordnet/dict``, genuine WordNet 3.0 exc(5WN) pairs —
+# see tools/make_wordnet_extract.py) merged over the builtin table
+# below.  The file is CHECKED IN, never environment-resolved: analyzer
+# output is baked into every index at build time, so A5 must be a
+# deterministic function of the repo version — an exception list that
+# varied with $SEWIKI_WORDNET_DIR would make an index built in one
+# environment analyze queries differently in another.  The morphy
+# suffix substitutions below carry conservative guards standing in for
+# the full-lexicon membership check.
 # ---------------------------------------------------------------------------
-NOUN_EXCEPTIONS = {
+_BUILTIN_NOUN_EXCEPTIONS = {
     "geese": "goose", "feet": "foot", "teeth": "tooth", "mice": "mouse",
     "men": "man", "women": "woman", "children": "child", "oxen": "ox",
     "lives": "life", "wives": "wife", "knives": "knife", "leaves": "leaf",
@@ -291,6 +299,32 @@ NOUN_EXCEPTIONS = {
     "criteria": "criterion", "indices": "index", "matrices": "matrix",
     "vertices": "vertex", "axes": "axis",
 }
+
+_VENDORED_NOUN_EXC = _os_path.join(
+    _os_path.dirname(_os_path.dirname(_os_path.abspath(__file__))),
+    "data", "wordnet", "dict", "noun.exc",
+)
+
+
+def _load_noun_exceptions() -> dict[str, str]:
+    """Builtin table merged with the vendored WNdb ``noun.exc`` (file
+    wins on conflict — it is the real-WordNet value).  Lines indented
+    with spaces are the embedded license preamble (WNdb convention)."""
+    exc = dict(_BUILTIN_NOUN_EXCEPTIONS)
+    try:
+        with open(_VENDORED_NOUN_EXC, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith(" ") or not line.strip():
+                    continue
+                parts = line.split()
+                if len(parts) >= 2:
+                    exc[parts[0]] = parts[1]
+    except OSError:
+        pass  # extract absent: builtin table only
+    return exc
+
+
+NOUN_EXCEPTIONS = _load_noun_exceptions()
 
 _ES_STEMS = ("ch", "sh", "ss", "x", "z")
 

@@ -238,6 +238,25 @@ def test_lemmatizing_analyzer():
     assert textproc.lemmatize_noun("criteria") == "criterion"
 
 
+def test_lemmatizer_exceptions_come_from_vendored_noun_exc():
+    """A5's irregular-noun table is real WordNet data: the vendored
+    WNdb ``noun.exc`` extract is merged over the builtin table at
+    import, so pairs the builtin lacks (corpora, genera, larvae, ...)
+    lemmatize correctly — and the file is checked in (deterministic
+    analyzer output per repo version), not environment-resolved."""
+    import os
+
+    assert os.path.exists(textproc._VENDORED_NOUN_EXC)
+    # file-only pairs (absent from the builtin table)
+    for infl, base in (("corpora", "corpus"), ("genera", "genus"),
+                       ("larvae", "larva"), ("stimuli", "stimulus"),
+                       ("vortices", "vortex")):
+        assert infl not in textproc._BUILTIN_NOUN_EXCEPTIONS
+        assert textproc.lemmatize_noun(infl) == base
+    # builtin pairs still hold (file and builtin agree where both list)
+    assert textproc.lemmatize_noun("geese") == "goose"
+
+
 def test_analyzer_registry_complete():
     assert set(textproc.ANALYZERS) == {
         "text", "title", "simple", "text_accent", "text_lemma"}

@@ -127,3 +127,67 @@ def test_bad_dir_fails_fast(monkeypatch, tmp_path):
     with pytest.raises(FileNotFoundError):
         wn.from_env()
     wn.from_env.cache_clear()
+
+
+# ---------------------------------------------------------------------------
+# Vendored extract (data/wordnet/dict): the DEFAULT inventory is the
+# pinned fixture merged with a WNdb-format WordNet 3.0 noun extract,
+# loaded through the same parser exercised above.
+# ---------------------------------------------------------------------------
+def test_vendored_extract_loads_and_is_default():
+    import os
+
+    from search_engine_wikipedia_spark.plans.expansion import (
+        _ACTIVE, _MergedInventory, VENDORED_WORDNET_DIR,
+    )
+
+    assert os.path.isdir(VENDORED_WORDNET_DIR)
+    assert isinstance(_ACTIVE, _MergedInventory)
+    inv = wn.load_wordnet_dir(VENDORED_WORDNET_DIR)
+    assert len(inv.sense_lemmas) >= 200          # substantial subset
+    # reconstructed upper ontology matches real WordNet depths:
+    # NLTK reports 0.933 for tiger.n.02 / leopard.n.02 (lcs big_cat)
+    assert inv.wup("tiger.n.01", "leopard.n.01") == pytest.approx(
+        28 / 30, abs=1e-9)
+
+
+def test_vendored_extract_expands_out_of_fixture_vocabulary():
+    """The round-4 gap: a noun outside the pinned fixture expanded to
+    nothing.  With the vendored extract merged in, it expands with
+    real WordNet lemma names, and WSD picks senses by graph Wu-Palmer
+    over the reconstructed hypernym DAG."""
+    e = ex.Expander()
+    # multi-lemma synset -> headword-stripped lemma expansion
+    assert e.expansion("tiger") == ["panthera", "tigris"]
+    # ambiguous 'crane': wading bird vs lifting machine, by context
+    assert ex.Disambiguator.nounSenseDisambiguate(
+        ["crane", "lake", "bird"], "crane") == "crane.n.01"
+    assert ex.Disambiguator.nounSenseDisambiguate(
+        ["crane", "hammer", "tool"], "crane") == "crane.n.02"
+    # ambiguous 'bass': voice (sense 01, WN tag order) vs fish
+    assert ex.Disambiguator.nounSenseDisambiguate(
+        ["bass", "salmon"], "bass") == "bass.n.02"
+    assert ex.Disambiguator.nounSenseDisambiguate(
+        ["bass", "singer"], "bass") == "bass.n.01"
+
+
+def test_merged_inventory_keeps_fixture_authoritative():
+    """Fixture-vocabulary behavior is byte-identical with the extract
+    merged in: the fixture is the parity spec for the evaluation
+    queries (incl. fictional synsets real WordNet lacks), so it wins
+    token lookups, and cross-inventory Wu-Palmer is 0.0 so extract
+    noise can never flip a pinned WSD argmax."""
+    from search_engine_wikipedia_spark.plans.expansion import _ACTIVE
+
+    # token defined in both: fixture senses win
+    assert _ACTIVE.synsets["apple"] == ("apple.n.01", "apple.n.02")
+    assert ex.Expander().expansion("apple computer")[:4] == [
+        "inc", "mac", "maker", "cupertino"]
+    # pinned x pinned: the table (unlisted pairs stay 0)
+    assert _ACTIVE.wup("apple.n.02", "computer.n.01") == 0.86
+    assert _ACTIVE.wup("apple.n.01", "computer.n.01") == 0.0
+    # pinned-only x extract-only: undefined -> 0
+    assert _ACTIVE.wup("microsoft.n.01", "tiger.n.01") == 0.0
+    # shared NAME (tree.n.01 is in both): still connected to the
+    # extract graph, so extract-only neighbors can disambiguate
+    assert _ACTIVE.wup("oak.n.01", "tree.n.01") > 0.8
