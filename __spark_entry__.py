@@ -562,6 +562,31 @@ SYNTAX_ENGINE_QUERIES = [
     "merge AND NOT sc*",
 ]
 
+# OR-grouping consistency workload: the syntax surface minus NOT —
+# under OR juxtaposition a NOT lands inside an Or group, a shape whose
+# relational twin genuinely doesn't exist (the referee raises
+# NotImplementedError; the kernel still evaluates it, and the AND
+# batch above covers every NOT query) — plus two plain multifield
+# queries so the OR default-grouping path itself is exercised.
+SYNTAX_OR_ENGINE_QUERIES = [
+    q for q in SYNTAX_ENGINE_QUERIES if "NOT" not in q
+] + ["hash merge slow", "window batch"]
+
+# expansion-ON consistency workload: plain multifield queries whose
+# tokens carry fixture synonyms that occur in the engine corpus
+# (sort→order/kind/form, join→merge/union, scan→table_scan/sweep),
+# so the Or([And(orig), syn^0.5]) tree ranks some docs through the
+# synonym branch alone.  NOT is excluded by design: the relational
+# referee's global anti-join and the kernel's branch-scoped Not
+# genuinely differ on that shape (it raises NotImplementedError).
+EXPANSION_ENGINE_QUERIES = [
+    "sort spark",
+    "join customer",
+    "scan window",
+    "sort join big",
+    "filter scan",
+]
+
 
 def _syntax_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way one-batch agreement for the query-SYNTAX surface:
@@ -584,35 +609,51 @@ def _syntax_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _engine_index(spark, sf_dir)
     idx = SearchIndex(spark, root)
-    wres = (
-        search_batch(idx, SYNTAX_ENGINE_QUERIES, limit=10, exp=False,
-                     page_rank=False, group="AND")
-        .select("query_id", "rank", "doc_id",
-                F.round("score", 6).alias("wand_score"))
-    )
-    bc = search_many_broadcast(
-        idx, SYNTAX_ENGINE_QUERIES, limit=15, group="AND"
-    ).select("query_id", "doc_id", F.col("score").alias("bcast_score"))
-    rel = search_batch_relational(
-        idx, SYNTAX_ENGINE_QUERIES, limit=15, group="AND"
-    ).select("query_id", "doc_id", F.col("score").alias("rel_score"))
-    return (
-        wres.join(bc, ["query_id", "doc_id"], "left")
-        .join(rel, ["query_id", "doc_id"], "left")
-        .select(
-            "query_id", "rank", "doc_id", "wand_score",
-            "bcast_score", "rel_score",
-            (
-                F.col("bcast_score").isNotNull()
-                & F.col("rel_score").isNotNull()
-                & (F.abs(F.col("wand_score") - F.col("bcast_score"))
-                   <= 2e-6)
-                & (F.abs(F.col("wand_score") - F.col("rel_score"))
-                   <= 2e-6)
-            ).alias("agree"),
+
+    def three_way(mode, queries, group, exp):
+        wres = (
+            search_batch(idx, queries, limit=10, exp=exp,
+                         page_rank=False, group=group)
+            .select("query_id", "rank", "doc_id",
+                    F.round("score", 6).alias("wand_score"))
         )
-        .orderBy("query_id", "rank")
+        bc = search_many_broadcast(
+            idx, queries, limit=15, group=group, exp=exp
+        ).select("query_id", "doc_id", F.col("score").alias("bcast_score"))
+        rel = search_batch_relational(
+            idx, queries, limit=15, group=group, exp=exp
+        ).select("query_id", "doc_id", F.col("score").alias("rel_score"))
+        return (
+            wres.join(bc, ["query_id", "doc_id"], "left")
+            .join(rel, ["query_id", "doc_id"], "left")
+            .select(
+                F.lit(mode).alias("mode"),
+                "query_id", "rank", "doc_id", "wand_score",
+                "bcast_score", "rel_score",
+                (
+                    F.col("bcast_score").isNotNull()
+                    & F.col("rel_score").isNotNull()
+                    & (F.abs(F.col("wand_score") - F.col("bcast_score"))
+                       <= 2e-6)
+                    & (F.abs(F.col("wand_score") - F.col("rel_score"))
+                       <= 2e-6)
+                ).alias("agree"),
+            )
+        )
+
+    # three workloads: the full syntax surface under AND and OR, and
+    # query EXPANSION on — plain queries over the engine-vocabulary
+    # synonym cluster (expansion.py _ENGINE_CLUSTER), whose synonym
+    # branch matches real corpus terms, so docs ranked ONLY via the
+    # ungated expansion branch must agree across all three paths too
+    out = (
+        three_way("and", SYNTAX_ENGINE_QUERIES, "AND", False)
+        .unionByName(three_way("or", SYNTAX_OR_ENGINE_QUERIES,
+                               "OR", False))
+        .unionByName(three_way("exp", EXPANSION_ENGINE_QUERIES,
+                               "AND", True))
     )
+    return out.orderBy("mode", "query_id", "rank")
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,6 +208,23 @@ class HotTermError(ValueError):
     query must run through the distributed ``search_batch`` plan."""
 
 
+# Serving-path tombstone budget, as a fraction of indexed docs.  The
+# driver-held tombstone set is bounded by COMPACTION CADENCE, not by
+# any mechanism — the same reasoning Lucene applies to its live-docs
+# bitset — and this constant turns that operator-discipline assumption
+# into a contract: a reader that would hold more than this fraction of
+# the corpus as int64 dead-ids refuses with "compact first" instead of
+# silently ballooning driver memory and per-query exclusion cost.
+# 0.5 mirrors Lucene's natural ceiling (beyond half-dead, a segment is
+# pure waste); pass ``max_tombstone_frac=None`` to disable.
+DEFAULT_MAX_TOMBSTONE_FRAC = 0.5
+
+
+class TombstoneBudgetError(RuntimeError):
+    """Un-compacted deletes exceed the serving budget; run
+    ``ingest.compact`` before reopening readers."""
+
+
 class SearchIndex:
     """Open a built index (reference ``openOrBuild`` read path).
 
@@ -224,7 +241,8 @@ class SearchIndex:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_terms: bool = True,
-                 max_postings_per_term: int | None = _CAP_DEFAULT):
+                 max_postings_per_term: int | None = _CAP_DEFAULT,
+                 max_tombstone_frac: float | None = _CAP_DEFAULT):
         from ..functions.textproc import ANALYZERS
 
         self.spark = spark
@@ -233,6 +251,11 @@ class SearchIndex:
             DEFAULT_MAX_POSTINGS_PER_TERM
             if max_postings_per_term is _CAP_DEFAULT
             else max_postings_per_term
+        )
+        self.max_tombstone_frac = (
+            DEFAULT_MAX_TOMBSTONE_FRAC
+            if max_tombstone_frac is _CAP_DEFAULT
+            else max_tombstone_frac
         )
         # analyze queries with the chains the index was BUILT with
         # (recorded at build time; defaults = reference schema A3/A2)
@@ -389,6 +412,19 @@ class SearchIndex:
                     self.index_dir, "tombstones", ["doc_id"]
                 )["doc_id"].to_numpy(zero_copy_only=False)
                 self._tombstones = np.sort(arr.astype(np.int64))
+            if self.max_tombstone_frac is not None:
+                frac = self._tombstones.size / max(1, self.stats.n_docs)
+                if frac > self.max_tombstone_frac:
+                    n = self._tombstones.size
+                    self._tombstones = None  # don't cache a refusal
+                    raise TombstoneBudgetError(
+                        f"{n} un-compacted tombstones = {frac:.0%} of "
+                        f"{self.stats.n_docs} indexed docs, over the "
+                        f"serving budget max_tombstone_frac="
+                        f"{self.max_tombstone_frac}; run ingest.compact"
+                        f"() on {self.index_dir!r} (or open with "
+                        "max_tombstone_frac=None to override)"
+                    )
         return self._tombstones
 
     def refresh_tombstones(self) -> None:
@@ -871,6 +907,7 @@ def search_batch_relational(
     queries: list[str],
     limit: int = 10,
     group: str = "AND",
+    exp: bool = False,
 ) -> DataFrame:
     """BM25F top-k computed WITHOUT the WAND kernel or the codec: a
     pure relational plan over the index's ``term_freqs`` /
@@ -883,14 +920,35 @@ def search_batch_relational(
     matched; a doc's score sums every matched leaf.  Ranking uses
     (raw score desc, doc asc) — the kernel's tie order; exact ties
     have identical leaf sets so both paths agree on the break.
+
+    ``exp=True`` mirrors the expansion tree ``Or([And(groups), syn])``:
+    synonym leaves (boost 0.5) join the fan-out UNGATED
+    (group_id = -1).  Under AND, a doc scores
+    ``(all groups matched ? Σ main leaves : 0) + Σ matched syn
+    leaves`` and qualifies if either side matched — exactly Whoosh's
+    sum-of-matched-children for that tree shape.  Under OR the tree is
+    flat, so syn leaves are simply more leaves.  NOT + expansion is
+    refused: the kernel's Not only guards the And branch while this
+    referee's anti-join is global, so the shapes genuinely differ.
     """
     spark = index.spark
     fan_rows = []
     neg_rows = []  # (query_id, field, term): any-match exclusion
     n_groups = {}
+    syn_qids = set()
+    expander = expansion_mod.Expander() if exp else None
     for qid, q in enumerate(queries):
         tree, _ = parse_query(q, group=group, expand=False,
                               analyzers=index.analyzers, index=index)
+        if exp:
+            # same construction as parse_query(expand=True): synonym
+            # token_nodes at half boost, joined as an ungated branch
+            for w in expander.expansion(q):
+                node = token_node(w, 0.5, 0.5, index.analyzers)
+                for t in tree_terms(node):
+                    fan_rows.append((qid, -1, t.field, t.text,
+                                     float(t.boost)))
+                    syn_qids.add(qid)
         if tree is None:
             n_groups[qid] = 0
             continue
@@ -923,12 +981,22 @@ def search_batch_relational(
         for gi, g in enumerate(pos_groups):
             for t in tree_terms(g):
                 fan_rows.append((qid, gi, t.field, t.text, float(t.boost)))
+    if exp and neg_rows and syn_qids:
+        raise NotImplementedError(
+            "relational referee: NOT combined with expansion — the "
+            "kernel's Not guards only the original And branch, this "
+            "referee's exclusion is global; shapes differ"
+        )
     fan = spark.createDataFrame(
         fan_rows,
         "query_id int, group_id int, field string, term string, boost double",
     )
+    # a query whose original tree vanished (all tokens stopworded) can
+    # still rank via its synonym branch: keep it with n_groups=0, the
+    # AND gate (0 matched == 0 needed) then passes its main side
     need = spark.createDataFrame(
-        [(qid, n) for qid, n in n_groups.items() if n > 0],
+        [(qid, n) for qid, n in n_groups.items()
+         if n > 0 or qid in syn_qids],
         "query_id int, n_groups int",
     )
     tf = catalog.read_table(spark, index.index_dir, "term_freqs")
@@ -962,13 +1030,36 @@ def search_batch_relational(
     scored = (
         leaf.groupBy("query_id", "doc_id")
         .agg(
-            F.sum("leaf_score").alias("score"),
-            F.count_distinct("group_id").alias("g_matched"),
+            F.sum(F.when(F.col("group_id") >= 0, F.col("leaf_score"))
+                  .otherwise(0.0)).alias("main_score"),
+            F.sum(F.when(F.col("group_id") < 0, F.col("leaf_score"))
+                  .otherwise(0.0)).alias("syn_score"),
+            F.count_distinct(
+                F.when(F.col("group_id") >= 0, F.col("group_id"))
+            ).alias("g_matched"),
+            F.max(F.when(F.col("group_id") < 0, 1).otherwise(0))
+            .alias("syn_matched"),
         )
         .join(F.broadcast(need), "query_id")
     )
     if group == "AND":
-        scored = scored.where(F.col("g_matched") == F.col("n_groups"))
+        # Or([And(groups), syn]): the And branch contributes only when
+        # complete; the syn branch contributes whenever matched
+        scored = (
+            scored
+            .withColumn("main_ok",
+                        F.col("g_matched") == F.col("n_groups"))
+            .where(F.col("main_ok") | (F.col("syn_matched") == 1))
+            .withColumn(
+                "score",
+                F.when(F.col("main_ok"), F.col("main_score"))
+                .otherwise(F.lit(0.0)) + F.col("syn_score"),
+            )
+        )
+    else:
+        # flat Or: every matched leaf sums, any match qualifies
+        scored = scored.withColumn(
+            "score", F.col("main_score") + F.col("syn_score"))
     if neg_rows:
         negfan = spark.createDataFrame(
             neg_rows, "query_id int, field string, term string"
@@ -1002,6 +1093,7 @@ def search_many_broadcast(
     group: str = "AND",
     weighting: str = Weighting.BM25F,
     slices_per_core: int = 4,
+    exp: bool = False,
 ) -> DataFrame:
     """Serve a query workload against a BROADCAST posting cache.
 
@@ -1022,7 +1114,7 @@ def search_many_broadcast(
     for q in queries:
         if q in specs:
             continue
-        tree, _ = parse_query(q, group=group, expand=False,
+        tree, _ = parse_query(q, group=group, expand=exp,
                               analyzers=index.analyzers, index=index)
         specs[q] = _tree_spec(tree)
         for t in tree_terms(tree) if tree is not None else []:
@@ -1080,6 +1172,7 @@ def serving_partition_stats(
     group: str = "AND",
     weighting: str = Weighting.BM25F,
     slices_per_core: int = 4,
+    exp: bool = False,
 ) -> list[dict]:
     """Per-PARTITION serving metrics: run the broadcast serving plan
     (same kernels, same slicing as ``search_many_broadcast``) and
@@ -1098,7 +1191,7 @@ def serving_partition_stats(
     for q in queries:
         if q in specs:
             continue
-        tree, _ = parse_query(q, group=group, expand=False,
+        tree, _ = parse_query(q, group=group, expand=exp,
                               analyzers=index.analyzers, index=index)
         specs[q] = _tree_spec(tree)
         for t in tree_terms(tree) if tree is not None else []:

@@ -485,3 +485,49 @@ def test_delete_where_predicate_takedown(spark, corpus,
         res = s.search(q, limit=20, exp=False, page_rank=False)
         hits = {d["link"] for d in res["docs"]}
         assert not (hits & expected), (q, hits & expected)
+
+
+def test_tombstone_budget_guard(spark, corpus, tmp_path_factory):
+    """The serving-path tombstone set is driver-held, bounded only by
+    compaction cadence — so the cadence is a CONTRACT: a default
+    reader refuses to serve once un-compacted deletes exceed
+    max_tombstone_frac of the corpus, pointing at compact; an explicit
+    None opt-out (and a post-compact reopen) serves normally."""
+    from search_engine_wikipedia_spark.plans.query import (
+        TombstoneBudgetError,
+    )
+
+    root = str(tmp_path_factory.mktemp("budget_idx"))
+    _build(spark, root, _pages_df(spark, corpus[:100]))
+    idx = SearchIndex(spark, root)
+    all_urls = [
+        r["url"] for r in catalog.read_table(spark, root, "docs")
+        .select("url").collect()
+    ]
+    # delete 60% > the 0.5 default budget
+    assert ingest.delete_urls(spark, root, all_urls[:60]) == 60
+
+    idx = SearchIndex(spark, root)                 # default-configured
+    with pytest.raises(TombstoneBudgetError, match="compact"):
+        WikiSearcher(idx).search(QUERIES[0], limit=5, exp=False,
+                                 page_rank=False, with_meta=False)
+    # a refusal must not poison the reader: fixing the index (compact)
+    # and re-searching through the SAME object works
+    with pytest.raises(TombstoneBudgetError):
+        _ = idx.tombstones
+
+    # explicit opt-out serves with the full exclusion set
+    relaxed = SearchIndex(spark, root, max_tombstone_frac=None)
+    assert relaxed.tombstones.size == 60
+    res = WikiSearcher(relaxed).search(QUERIES[0], limit=5, exp=False,
+                                       page_rank=False, with_meta=False)
+    assert all(d["doc_id"] not in set(relaxed.tombstones.tolist())
+               for d in res["docs"])
+
+    # compact empties the budget; the default reader serves again
+    ingest.compact(spark, root)
+    after = SearchIndex(spark, root)
+    assert after.tombstones.size == 0
+    assert WikiSearcher(after).search(
+        QUERIES[0], limit=5, exp=False, page_rank=False,
+        with_meta=False)["n_res"] >= 0

@@ -85,12 +85,19 @@ def test_wand_consistency_all_agree(spark):
 
 def test_syntax_consistency_all_agree(spark):
     """The query-SYNTAX workload (NOT/parens/field:/^boost/wildcards)
-    submitted as ONE batch: the WAND kernel batch, the broadcast
-    posting-cache path, and the relational referee must agree on every
-    (query, doc, score) row."""
+    under AND and OR grouping, plus an expansion-ON batch (synonym
+    branch matching real corpus terms), each submitted as ONE batch:
+    the WAND kernel batch, the broadcast posting-cache path, and the
+    relational referee must agree on every (mode, query, doc, score)
+    row."""
     rows = QUERIES["syntax_consistency"](spark, SF_DIR).collect()
     assert rows
-    assert len({r["query_id"] for r in rows}) >= 8  # workload ran wide
+    modes = {r["mode"] for r in rows}
+    assert modes == {"and", "or", "exp"}, modes
+    for m in ("and", "or"):
+        assert len({r["query_id"] for r in rows
+                    if r["mode"] == m}) >= 8     # workload ran wide
+    assert len({r["query_id"] for r in rows if r["mode"] == "exp"}) >= 4
     bad = [r.asDict() for r in rows if not r["agree"]]
     assert not bad, bad[:5]
 
