@@ -64,7 +64,7 @@ def pagerank(
     eps: float = EPS,
     max_iter: int = MAX_ITER,
     checkpoint_every: int = 8,
-    cache_tmp: bool = True,
+    pin_tmp: bool = True,
 ) -> DataFrame:
     """→ (doc_id, pr), matching SNAP/Berkhin semantics above.
 
@@ -74,14 +74,35 @@ def pagerank(
     delta < eps) is checked driver-side each iteration, mirroring
     SNAP's early exit.
 
-    ``cache_tmp`` pins the per-iteration damped-inflow table so the
-    contribution join+groupBy executes exactly ONCE per iteration even
-    though two actions consume it (the dangling-mass sum and the L1
-    delta) — AQE re-plans per action, so an uncached ``tmp`` would run
-    the contribution shuffle twice, up to 2× the whole PageRank cost at
-    MaxIter=100 on a crawl-scale graph.  False exists only as the
-    negative control for the instrumentation test that guards this
-    invariant (tests/test_pagerank.py).
+    ``pin_tmp`` eagerly ``localCheckpoint``s the per-iteration
+    damped-inflow table, which does two load-bearing things at once:
+
+    * the contribution join+groupBy executes exactly ONCE per iteration
+      even though two actions consume it (the dangling-mass sum and the
+      L1 delta) — AQE re-plans per action, so an unpinned ``tmp`` would
+      run the contribution shuffle twice, up to 2× the whole PageRank
+      cost at MaxIter=100 on a crawl-scale graph;
+    * the logical plan is truncated EVERY iteration.  cache()-based
+      pinning cannot do this safely in a loop: unpersisting the
+      previous iteration's entries resets every dependent CacheManager
+      entry to lazy, so later actions recompute the full accumulated
+      lineage — measured on this repo as ~3× wall growth PER ITERATION
+      (0.9 s → 35 s by iteration 6 on a 300-doc graph) ending in a
+      driver OOM while AQE rendered the exploded plan string.
+
+    Old iterations' checkpoint blocks are reclaimed by the
+    ContextCleaner when their DataFrames are GC'd (same pattern as
+    ``ingest.delete_urls``); blocks store MEMORY_AND_DISK so a long run
+    spills rather than OOMs.  On a multi-node cluster, flip every Kth
+    iteration to a reliable ``checkpoint()`` (HDFS) if executor loss
+    over hour-long runs matters — localCheckpoint blocks are not
+    recoverable.
+
+    ``pin_tmp=False`` exists only as the negative control for the
+    instrumentation test guarding the one-shuffle-per-iteration
+    invariant (tests/test_plans.py); it bounds lineage with a
+    ``localCheckpoint`` of the ranks every ``checkpoint_every``
+    iterations instead.
     """
     n_docs = nodes.count()
     if n_docs == 0:
@@ -96,7 +117,7 @@ def pagerank(
     )
     graph.count()
 
-    ranks = nodes.select("doc_id", F.lit(1.0 / n_docs).alias("pr")).cache()
+    ranks = nodes.select("doc_id", F.lit(1.0 / n_docs).alias("pr"))
 
     for it in range(max_iter):
         contribs = (
@@ -115,30 +136,25 @@ def pagerank(
                 (F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("tmp"),
             )
         )
-        if cache_tmp:
-            tmp = tmp.cache()
-        # action 1 (dangling-mass sum) materializes tmp's cache; action
-        # 2 (the delta, via new_ranks) re-reads that n_docs-row cache
-        # instead of re-executing the contribution join+groupBy
+        if pin_tmp:
+            # eager: runs the contribution shuffle (the iteration's ONE
+            # heavy job) and truncates lineage; both following actions
+            # read the materialized n_docs-row blocks
+            tmp = tmp.localCheckpoint()
         total = tmp.agg(F.sum("tmp")).collect()[0][0] or 0.0
         leaked = (1.0 - total) / n_docs
+        # narrow literal-add over the pinned blocks — needs no pin of
+        # its own: next iteration's recompute is a map over tmp's RDD
         new_ranks = tmp.select(
             "doc_id", (F.col("tmp") + F.lit(leaked)).alias("pr")
         )
-        if (it + 1) % checkpoint_every == 0:
+        if not pin_tmp and (it + 1) % checkpoint_every == 0:
             new_ranks = new_ranks.localCheckpoint()
-        else:
-            new_ranks = new_ranks.cache()
         diff = (
             new_ranks.join(ranks.withColumnRenamed("pr", "pr_old"), "doc_id")
             .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
             .collect()[0][0]
         ) or 0.0
-        if cache_tmp:
-            # new_ranks' own cache materialized during the delta action,
-            # so tmp's blocks are no longer needed
-            tmp.unpersist()
-        ranks.unpersist()
         ranks = new_ranks
         if diff < eps:
             break

@@ -278,13 +278,17 @@ def _job_group_task_count(spark, group: str) -> int:
 
 def test_pagerank_one_contribs_execution_per_iteration(spark):
     """Each PageRank iteration runs TWO actions over the damped-inflow
-    table (dangling-mass sum, then L1 delta); with ``tmp`` cached the
-    contribution join+groupBy shuffle executes once per iteration, and
-    the second action reads the n_docs-row cache.  AQE re-plans per
-    action, so the uncached negative control re-executes the
-    contribution shuffle for the delta — measurably more tasks for the
-    SAME graph, SAME iterations, SAME result.  At MaxIter=100 on a
-    crawl-scale graph that re-execution is up to 2× the whole job."""
+    table (dangling-mass sum, then L1 delta); with ``tmp`` pinned via
+    an eager localCheckpoint the contribution join+groupBy shuffle
+    executes once per iteration, and the second action reads the
+    n_docs-row blocks.  AQE re-plans per action, so the unpinned
+    negative control re-executes the contribution shuffle for the
+    delta — measurably more tasks for the SAME graph, SAME iterations,
+    SAME result.  At MaxIter=100 on a crawl-scale graph that
+    re-execution is up to 2× the whole job.  (cache()-based pinning is
+    NOT equivalent: in-loop unpersists reset dependent CacheManager
+    entries to lazy, which measured as ~3× wall growth per iteration —
+    see the pagerank docstring.)"""
     from search_engine_wikipedia_spark.operators.pagerank import pagerank
 
     nodes = spark.range(0, 60).withColumnRenamed("id", "doc_id")
@@ -296,11 +300,11 @@ def test_pagerank_one_contribs_execution_per_iteration(spark):
     tasks, ranks = {}, {}
     sc = spark.sparkContext
     for flag in (True, False):
-        group = f"pg_cache_{flag}"
+        group = f"pg_pin_{flag}"
         sc.setJobGroup(group, "pagerank shuffle-count instrumentation")
         try:
             rows = pagerank(spark, nodes, edges, max_iter=3, eps=0.0,
-                            cache_tmp=flag).collect()
+                            pin_tmp=flag).collect()
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         tasks[flag] = _job_group_task_count(spark, group)
@@ -309,3 +313,35 @@ def test_pagerank_one_contribs_execution_per_iteration(spark):
         )
     assert ranks[True] == ranks[False]          # identical math
     assert tasks[True] < tasks[False], tasks    # one shuffle per iter
+
+
+def test_pagerank_iteration_cost_stays_linear(spark):
+    """Lineage-truncation regression guard: per-iteration work must not
+    grow with the iteration number.  The failure mode this pins is the
+    cache()+unpersist() loop (round-5 regression, reverted): in-loop
+    unpersists reset dependent CacheManager entries, every action
+    recomputes the full accumulated lineage, and per-iteration wall
+    grows ~3× (driver OOM by iteration ~8).  Measured in TASKS, not
+    seconds: 4× the iterations must cost ≤ ~4× the tasks (+ slack for
+    the constant graph-staging jobs); exponential recompute blows this
+    bound by orders of magnitude."""
+    from search_engine_wikipedia_spark.operators.pagerank import pagerank
+
+    nodes = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 60) for i in range(60)]
+        + [(i, (i * 3 + 2) % 60) for i in range(0, 60, 2)],
+        "src long, dst long",
+    )
+    tasks = {}
+    sc = spark.sparkContext
+    for n_iter in (3, 12):
+        group = f"pg_linear_{n_iter}"
+        sc.setJobGroup(group, "pagerank lineage-growth guard")
+        try:
+            pagerank(spark, nodes, edges, max_iter=n_iter,
+                     eps=0.0).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        tasks[n_iter] = _job_group_task_count(spark, group)
+    assert tasks[12] <= 5 * tasks[3], tasks
