@@ -434,6 +434,77 @@ def _wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# Marker token that cannot occur in the synthetic corpus vocabulary —
+# lets the lifecycle oracle detect WHICH revision of a doc is serving
+# from content alone.
+UPSERT_MARKER = "ZZUPSERTMARKER"
+
+
+def _maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance lifecycle through the real engine, oracle-gated.
+
+    1. copy the cached sf index to a scratch root;
+    2. ``upsert_pages`` a recrawl batch: every indexed doc with
+       ``doc_id % 5 == 0`` recrawled with CHANGED content (a marker
+       prefix) — content-hash gating must tombstone exactly the old
+       copies and serve the new revisions;
+    3. ``delete_where`` a predicate takedown (``doc_id % 7 == 3``,
+       parsed from the url) — victim set stays distributed, no driver
+       list;
+    4. ``compact`` — physically remove every tombstoned row;
+    5. read back the live docs table: per surviving doc, the original
+       id plus whether the UPDATED revision is the one serving.
+
+    The DuckDB oracle derives the same table arithmetically from the
+    raw ``documents`` input, so rows+schema+hash gate upsert
+    exactly-once semantics (delete-then-add per
+    ``org.apache.lucene...updateDocument``; reference has no
+    maintenance surface — this is engine capability beyond it),
+    predicate deletes, and compact convergence end-to-end under the
+    driver harness, not just pytest.
+    """
+    import shutil
+
+    from search_engine_wikipedia_spark.operators import ingest
+    from search_engine_wikipedia_spark.sources import catalog
+
+    root = _engine_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/sewiki_lifecycle_{tag}"
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    shutil.copytree(root, scratch)
+
+    docs = _docs(spark, sf_dir)
+    recrawl = (
+        docs.where(
+            (F.col("lang") == "en")
+            & ~F.coalesce(F.col("text"), F.lit("")).startswith("#REDIRECT")
+            & (F.col("doc_id") % 5 == 0)
+        )
+        .select(
+            F.concat(F.lit("https://docs.example/d_"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit("2026-02-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.concat(F.lit(UPSERT_MARKER + " "), F.col("text")).alias("text"),
+            F.col("lang"),
+        )
+    )
+    ingest.upsert_pages(spark, scratch, recrawl)
+    ingest.delete_where(
+        spark, scratch,
+        "CAST(regexp_extract(url, '_([0-9]+)$', 1) AS BIGINT) % 7 = 3")
+    ingest.compact(spark, scratch)
+
+    live = catalog.read_table(spark, scratch, "docs")
+    return live.select(
+        F.regexp_extract("url", "_([0-9]+)$", 1).cast("long").alias("doc_id"),
+        F.when(F.col("clean_text").startswith(UPSERT_MARKER), 1)
+         .otherwise(0).alias("is_updated"),
+    ).orderBy("doc_id")
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -773,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), threshold=0.4, n_cells=8, n_iter=3),
         "ann_ivf_trained": lambda s, d: ann.ivf_trained_topk(
             _emb(s, d), PROBE_IDS, k=5, n_cells=8, n_iter=3),
+        # maintenance lifecycle (upsert → delete_where → compact)
+        "maintenance_lifecycle": _maintenance_lifecycle,
         # full engine (WAND kernel; rows-only) + its relational referee
         "wand_topk": _wand_topk,
         "wand_consistency": _wand_consistency,
@@ -1034,6 +1107,18 @@ SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 5""",
         "multimodal_features": MULTIMODAL_SQL,
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_sessionized": EVENTS_SESSIONIZED_SQL,
+        # Engine lifecycle: survivors of upsert(%5) → delete(%7==3) →
+        # compact, with per-doc serving-revision flag — derivable
+        # arithmetically from the raw input.  The index holds en
+        # non-redirect docs only (docs_from_pages build filters).
+        "maintenance_lifecycle": """
+SELECT doc_id,
+       CAST(doc_id % 5 = 0 AS INTEGER) AS is_updated
+FROM documents
+WHERE lang = 'en'
+  AND NOT coalesce(text, '') LIKE '#REDIRECT%'
+  AND doc_id % 7 <> 3
+ORDER BY doc_id""",
         # wand_topk: rows-only (WAND + Porter stemming are not
         # ANSI-SQL-expressible); cross-checked by wand_consistency.
     }
