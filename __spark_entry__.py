@@ -505,6 +505,68 @@ def _maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Marker prefix for the append batch — distinct content, so the batch
+# can never collide with the base corpus on any content-hash guard.
+APPEND_MARKER = "APPENDBATCH"
+
+
+def _append_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest lifecycle through the real engine,
+    oracle-gated.
+
+    1. copy the cached sf index to a scratch root;
+    2. ``append_pages`` a delta batch of NEW urls (every third base doc
+       re-crawled under an ``x_``-prefixed url with marker content) —
+       a continuous-crawl ingest step landing as an LSM delta segment;
+    3. ``optimize_segments`` — forceMerge the delta segments back into
+       row-balanced groups;
+    4. read back the live docs table: per doc, the original id and
+       which batch (base=0, appended delta=1) it arrived in.
+
+    The DuckDB oracle derives the same table arithmetically from the
+    raw ``documents`` input, so the driver harness gates append
+    visibility and optimize's no-rows-lost invariant end-to-end (the
+    deeper incremental==rebuild rank identity stays pytest-gated in
+    ``tests/test_ingest.py``).
+    """
+    import shutil
+
+    from search_engine_wikipedia_spark.operators import ingest
+    from search_engine_wikipedia_spark.sources import catalog
+
+    root = _engine_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/sewiki_appendopt_{tag}"
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    shutil.copytree(root, scratch)
+
+    docs = _docs(spark, sf_dir)
+    delta = (
+        docs.where(
+            (F.col("lang") == "en")
+            & ~F.coalesce(F.col("text"), F.lit("")).startswith("#REDIRECT")
+            & (F.col("doc_id") % 3 == 1)
+        )
+        .select(
+            F.concat(F.lit("https://docs.example/x_"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit("2026-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.concat(F.lit(APPEND_MARKER + " "), F.col("text")).alias("text"),
+            F.col("lang"),
+        )
+    )
+    ingest.append_pages(spark, scratch, delta)
+    ingest.optimize_segments(spark, scratch)
+
+    live = catalog.read_table(spark, scratch, "docs")
+    return live.select(
+        F.regexp_extract("url", "_([0-9]+)$", 1).cast("long").alias("doc_id"),
+        F.when(F.col("url").contains("/x_"), 1).otherwise(0).alias("batch"),
+    ).orderBy("doc_id", "batch")
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -846,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), PROBE_IDS, k=5, n_cells=8, n_iter=3),
         # maintenance lifecycle (upsert → delete_where → compact)
         "maintenance_lifecycle": _maintenance_lifecycle,
+        # incremental ingest lifecycle (append → forceMerge)
+        "append_optimize_lifecycle": _append_optimize_lifecycle,
         # full engine (WAND kernel; rows-only) + its relational referee
         "wand_topk": _wand_topk,
         "wand_consistency": _wand_consistency,
@@ -1119,6 +1183,17 @@ WHERE lang = 'en'
   AND NOT coalesce(text, '') LIKE '#REDIRECT%'
   AND doc_id % 7 <> 3
 ORDER BY doc_id""",
+        # Ingest lifecycle: base corpus + appended x_ delta (%3==1),
+        # read back post-forceMerge.
+        "append_optimize_lifecycle": """
+WITH base AS (
+  SELECT doc_id FROM documents
+  WHERE lang = 'en' AND NOT coalesce(text, '') LIKE '#REDIRECT%'
+)
+SELECT doc_id, 0 AS batch FROM base
+UNION ALL
+SELECT doc_id, 1 AS batch FROM base WHERE doc_id % 3 = 1
+ORDER BY doc_id, batch""",
         # wand_topk: rows-only (WAND + Porter stemming are not
         # ANSI-SQL-expressible); cross-checked by wand_consistency.
     }
