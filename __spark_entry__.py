@@ -440,6 +440,47 @@ def _wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 UPSERT_MARKER = "ZZUPSERTMARKER"
 
 
+def _lifecycle_scratch(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Clone the cached sf index into a fresh scratch root for a
+    mutating lifecycle query.  Pid-suffixed so concurrent harness
+    processes on one host cannot rmtree each other's tree while a
+    lazily-evaluated result DataFrame is still reading it."""
+    import shutil
+
+    root = _engine_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/sewiki_{kind}_{tag}_{os.getpid()}"
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    shutil.copytree(root, scratch)
+    return scratch
+
+
+def _recrawl_batch(docs: DataFrame, modulus: int, remainder: int,
+                   url_prefix: str, marker: str, ts: str) -> DataFrame:
+    """Pages-shaped batch: every indexed doc with
+    ``doc_id % modulus == remainder``, re-emitted under ``url_prefix``
+    with marker-prefixed content (coalesced — a NULL text must still
+    carry the marker, or the content-hash/is-updated checks read the
+    wrong revision)."""
+    return (
+        docs.where(
+            (F.col("lang") == "en")
+            & ~F.coalesce(F.col("text"), F.lit("")).startswith("#REDIRECT")
+            & (F.col("doc_id") % modulus == remainder)
+        )
+        .select(
+            F.concat(F.lit(url_prefix),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit(ts).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.concat(F.lit(marker + " "),
+                     F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+            F.col("lang"),
+        )
+    )
+
+
 def _maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance lifecycle through the real engine, oracle-gated.
 
@@ -463,34 +504,13 @@ def _maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate deletes, and compact convergence end-to-end under the
     driver harness, not just pytest.
     """
-    import shutil
-
     from search_engine_wikipedia_spark.operators import ingest
     from search_engine_wikipedia_spark.sources import catalog
 
-    root = _engine_index(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    scratch = f"/tmp/sewiki_lifecycle_{tag}"
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch)
-    shutil.copytree(root, scratch)
-
-    docs = _docs(spark, sf_dir)
-    recrawl = (
-        docs.where(
-            (F.col("lang") == "en")
-            & ~F.coalesce(F.col("text"), F.lit("")).startswith("#REDIRECT")
-            & (F.col("doc_id") % 5 == 0)
-        )
-        .select(
-            F.concat(F.lit("https://docs.example/d_"),
-                     F.col("doc_id").cast("string")).alias("url"),
-            F.lit("2026-02-01 00:00:00").cast("timestamp").alias("warc_ts"),
-            F.lit(None).cast("binary").alias("html"),
-            F.concat(F.lit(UPSERT_MARKER + " "), F.col("text")).alias("text"),
-            F.col("lang"),
-        )
-    )
+    scratch = _lifecycle_scratch(spark, sf_dir, "lifecycle")
+    recrawl = _recrawl_batch(
+        _docs(spark, sf_dir), 5, 0, "https://docs.example/d_",
+        UPSERT_MARKER, "2026-02-01 00:00:00")
     ingest.upsert_pages(spark, scratch, recrawl)
     ingest.delete_where(
         spark, scratch,
@@ -529,34 +549,13 @@ def _append_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     deeper incremental==rebuild rank identity stays pytest-gated in
     ``tests/test_ingest.py``).
     """
-    import shutil
-
     from search_engine_wikipedia_spark.operators import ingest
     from search_engine_wikipedia_spark.sources import catalog
 
-    root = _engine_index(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    scratch = f"/tmp/sewiki_appendopt_{tag}"
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch)
-    shutil.copytree(root, scratch)
-
-    docs = _docs(spark, sf_dir)
-    delta = (
-        docs.where(
-            (F.col("lang") == "en")
-            & ~F.coalesce(F.col("text"), F.lit("")).startswith("#REDIRECT")
-            & (F.col("doc_id") % 3 == 1)
-        )
-        .select(
-            F.concat(F.lit("https://docs.example/x_"),
-                     F.col("doc_id").cast("string")).alias("url"),
-            F.lit("2026-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
-            F.lit(None).cast("binary").alias("html"),
-            F.concat(F.lit(APPEND_MARKER + " "), F.col("text")).alias("text"),
-            F.col("lang"),
-        )
-    )
+    scratch = _lifecycle_scratch(spark, sf_dir, "appendopt")
+    delta = _recrawl_batch(
+        _docs(spark, sf_dir), 3, 1, "https://docs.example/x_",
+        APPEND_MARKER, "2026-03-01 00:00:00")
     ingest.append_pages(spark, scratch, delta)
     ingest.optimize_segments(spark, scratch)
 
@@ -778,13 +777,22 @@ def _syntax_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query EXPANSION on — plain queries over the engine-vocabulary
     # synonym cluster (expansion.py _ENGINE_CLUSTER), whose synonym
     # branch matches real corpus terms, so docs ranked ONLY via the
-    # ungated expansion branch must agree across all three paths too
+    # ungated expansion branch must agree across all three paths too.
+    # The invented cluster is NOT in the default serving inventory;
+    # install it only while the exp plans are constructed (all three
+    # paths parse + expand driver-side at call time).
+    from search_engine_wikipedia_spark.plans import expansion as expmod
+
+    expmod.use_inventory(expmod.engine_workload_inventory())
+    try:
+        exp_part = three_way("exp", EXPANSION_ENGINE_QUERIES, "AND", True)
+    finally:
+        expmod.use_inventory(None)
     out = (
         three_way("and", SYNTAX_ENGINE_QUERIES, "AND", False)
         .unionByName(three_way("or", SYNTAX_OR_ENGINE_QUERIES,
                                "OR", False))
-        .unionByName(three_way("exp", EXPANSION_ENGINE_QUERIES,
-                               "AND", True))
+        .unionByName(exp_part)
     )
     return out.orderBy("mode", "query_id", "rank")
 

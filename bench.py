@@ -48,8 +48,10 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     # "compare rates, not this run's absolute walls".
     probe_pre: dict | None = None
     window_clean = None
+    # one parse, shared by the pre-gate and the post-run re-check, so
+    # "window_clean" always means the SAME bar at both ends of the run
+    min_ratio = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.93"))
     if os.environ.get("SPARK_GRAFT_PROBE_GATE", "1") != "0":
-        min_ratio = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.93"))
         max_wait = float(os.environ.get("SPARK_GRAFT_PROBE_WAIT", "900"))
         probe_pre = hostprobe.wait_for_clean_window(
             8, min_ratio=min_ratio, max_wait=max_wait)
@@ -180,8 +182,7 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: str | None = None):
     if window_clean is not None and probe_post is not None:
         window_clean = bool(
             window_clean
-            and probe_post["per_core_ratio"]
-            >= float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "0.93")) - 0.03
+            and probe_post["per_core_ratio"] >= min_ratio - 0.03
         )
     result = {
         "metric": "index-build docs/sec + WAND query batch + pipeline ops",

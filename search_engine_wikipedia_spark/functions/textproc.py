@@ -319,8 +319,22 @@ def _load_noun_exceptions() -> dict[str, str]:
                 parts = line.split()
                 if len(parts) >= 2:
                     exc[parts[0]] = parts[1]
-    except OSError:
-        pass  # extract absent: builtin table only
+    except FileNotFoundError:
+        # Extract absent (e.g. a --py-files zip built without data/):
+        # builtin table only — but LOUDLY, because a driver with the
+        # file and executors without it would analyze divergently.
+        # Same policy as plans.expansion._default_inventory: missing →
+        # fallback, present-but-unreadable → raise.
+        import warnings
+
+        warnings.warn(
+            f"vendored WordNet noun.exc not found at {_VENDORED_NOUN_EXC}; "
+            "A5 lemmatization falls back to the builtin exception table — "
+            "ship the package data/ directory to keep analyzers identical "
+            "across driver and executors",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return exc
 
 

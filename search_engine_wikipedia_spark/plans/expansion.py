@@ -518,17 +518,17 @@ for _tok, _sense, _lemmas in _EXT:
 # whose synonym lemmas also occur in the synthetic engine corpus
 # (synth.py's ~30-word vocabulary), so an expansion-ON batch genuinely
 # changes match sets — docs ranked only via the synonym branch —
-# through all three batched paths.  Invented entries, same status as
-# the ambiguous clusters above (this fixture is a WordNet-shaped
-# stand-in, not WordNet data).
+# through all three batched paths.  These entries are INVENTED
+# (WordNet-shaped stand-ins, not WordNet data), so they are kept OUT
+# of the default serving inventory — a real ``exp=True`` query
+# containing "join" or "sort" must not match docs through fabricated
+# synonyms.  The workload installs them for its own duration via
+# ``engine_workload_inventory()`` + ``use_inventory()``.
 _ENGINE_CLUSTER = (
     ("sort", "sort.n.01", ("sort", "order", "kind", "form")),
     ("join", "join.n.01", ("join", "merge", "union")),
     ("scan", "scan.n.01", ("scan", "table_scan", "sweep")),
 )
-for _tok, _sense, _lemmas in _ENGINE_CLUSTER:
-    SYNSETS[_tok] = SYNSETS.get(_tok, ()) + (_sense,)
-    SENSE_LEMMAS[_sense] = _lemmas
 
 # WUP pairs for the NEW ambiguous clusters (symmetric fill below).
 _WUP_EXT: dict[tuple[str, str], float] = {
@@ -676,6 +676,29 @@ def _default_inventory():
             _wndb.load_wordnet_dir(VENDORED_WORDNET_DIR),
         )
     return _PinnedInventory()
+
+
+class _ClusterInventory:
+    """The invented engine-vocabulary entries (``_ENGINE_CLUSTER``),
+    ``WordNetInventory``-shaped.  No glosses, flat 0.0 similarity —
+    identical to how these senses behaved when they lived in the
+    pinned WUP table (unlisted pairs read 0.0)."""
+
+    synsets = {t: (s,) for t, s, _ in _ENGINE_CLUSTER}
+    sense_lemmas = {s: lem for _, s, lem in _ENGINE_CLUSTER}
+    glosses: dict = {}
+
+    @staticmethod
+    def wup(sense_a: str, sense_b: str) -> float:
+        return 0.0
+
+
+def engine_workload_inventory():
+    """The default inventory shadowed by the invented engine-vocabulary
+    synonym cluster — for the driver's batched consistency workload
+    ONLY (installed around it via :func:`use_inventory`); never the
+    serving default."""
+    return _MergedInventory(_ClusterInventory(), _default_inventory())
 
 
 _ACTIVE = _wndb.from_env() or _default_inventory()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from typing import Any as _tAny
 
 import numpy as np
 import pandas as pd
@@ -199,8 +200,10 @@ DEFAULT_MAX_POSTINGS_PER_TERM = 10_000_000
 
 # sentinel: distinguishes "caller said None = uncapped" from "caller
 # said nothing = default cap", and lets tests monkeypatch the module
-# default without re-binding the __init__ signature
-_CAP_DEFAULT = object()
+# default without re-binding the __init__ signature.  Typed ``Any`` so
+# the ``int | None`` parameter annotations it defaults stay honest to
+# type checkers (the resolved attribute is always int/float or None).
+_CAP_DEFAULT: "_tAny" = object()
 
 
 class HotTermError(ValueError):
@@ -873,7 +876,11 @@ def search_batch(
     # storage.  localCheckpoint's RDD blocks ARE ContextCleaner-
     # reclaimed when the DataFrame is GC'd (same pattern as
     # ingest.delete_urls), and eager=True runs the Python kernels
-    # exactly once.
+    # exactly once.  Tradeoff: checkpointing truncates lineage, so on
+    # a real cluster an executor lost while holding these blocks fails
+    # the batch instead of recomputing — acceptable for a retryable
+    # serving query, where the alternative (persist) leaks storage
+    # across a long-lived session.
     results = results.localCheckpoint()
     pr_hits = pr.join(
         F.broadcast(results.select("doc_id").distinct()), "doc_id")
@@ -981,11 +988,16 @@ def search_batch_relational(
         for gi, g in enumerate(pos_groups):
             for t in tree_terms(g):
                 fan_rows.append((qid, gi, t.field, t.text, float(t.boost)))
-    if exp and neg_rows and syn_qids:
+    # exclusions and synonym branches only interact WITHIN one query:
+    # refuse a query that has both, not a batch where different
+    # queries happen to contribute one each
+    neg_qids = {qid for qid, _, _ in neg_rows}
+    if exp and neg_qids & syn_qids:
         raise NotImplementedError(
-            "relational referee: NOT combined with expansion — the "
-            "kernel's Not guards only the original And branch, this "
-            "referee's exclusion is global; shapes differ"
+            "relational referee: NOT combined with expansion in the "
+            "same query — the kernel's Not guards only the original "
+            "And branch, this referee's exclusion is per-query-global; "
+            "shapes differ"
         )
     fan = spark.createDataFrame(
         fan_rows,

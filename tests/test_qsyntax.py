@@ -251,6 +251,37 @@ def test_relational_referee_rejects_not_of_group(sidx):
                                 limit=10)
 
 
+def test_relational_referee_exp_not_refusal_is_per_query(sidx):
+    """Exclusions and synonym branches only interact WITHIN one query:
+    a batch where one query carries a NOT and a DIFFERENT query gains
+    synonyms must run; NOT + synonyms in the same query must refuse."""
+    from search_engine_wikipedia_spark.plans import expansion as expmod
+
+    idx, _, _ = sidx
+
+    class _TinyInv:  # only "join" expands — fully deterministic
+        synsets = {"join": ("join.n.01",)}
+        sense_lemmas = {"join.n.01": ("join", "merge")}
+        glosses: dict = {}
+
+        @staticmethod
+        def wup(a, b):
+            return 0.0
+
+    expmod.use_inventory(_TinyInv())
+    try:
+        # cross-query NOT + synonyms: must evaluate, not refuse
+        search_batch_relational(
+            idx, ["history NOT Tuscany", "join Rome"], limit=5, exp=True
+        ).collect()
+        # same-query NOT + synonyms: genuinely ambiguous shape, refuses
+        with pytest.raises(NotImplementedError):
+            search_batch_relational(
+                idx, ["join NOT Tuscany"], limit=5, exp=True)
+    finally:
+        expmod.use_inventory(None)
+
+
 # ---------------------------------------------------------------------------
 # Fuzz: the parser must never crash on arbitrary user input — the only
 # permitted exception is the documented QuerySyntaxError (phrases,
