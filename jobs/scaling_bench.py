@@ -37,12 +37,12 @@ from search_engine_wikipedia_spark.hostprobe import (  # noqa: E402
 
 
 def spark_submit(script: str, cores: int, extra: list[str],
-                 metrics_path: str) -> dict:
+                 metrics_path: str, mem_gb: int = 24) -> dict:
     env = dict(os.environ)
     env["PYSPARK_SUBMIT_ARGS"] = (
         f"--master local[{cores}] "
         f"--conf spark.sql.shuffle.partitions={cores} "
-        f"--conf spark.driver.memory=24g "
+        f"--conf spark.driver.memory={mem_gb}g "
         f"--conf spark.local.dir=/dev/shm/sewiki_spark_local "
         f"--conf spark.ui.enabled=false pyspark-shell"
     )
@@ -86,13 +86,27 @@ def main() -> None:
     p.add_argument("--md-out", default="BENCH_SCALING.md",
                    help="markdown report path relative to the repo "
                         "root (BENCH.md itself is hand-curated)")
+    # Default: legacy fixed 24g JVM heap at BOTH levels.  That gives
+    # local[N] 4x the per-core memory of local[4N], which flatters the
+    # low side once the working set presses on the heap (first visible
+    # at 2M docs) — a real 4N-executor cluster brings 4x the memory of
+    # an N-executor one, with per-executor specs CONSTANT.  Setting
+    # --mem-per-core-gb holds per-core memory constant across levels
+    # (heap = cores x this), mirroring the real-cluster comparison.
+    p.add_argument("--mem-per-core-gb", type=int, default=None)
     args = p.parse_args()
+
+    def heap_gb(cores: int) -> int:
+        return (args.mem_per_core_gb * cores
+                if args.mem_per_core_gb else 24)
     jobs = [j for j in ("build", "query") if j in args.jobs.split(",")]
 
     os.makedirs(args.workdir, exist_ok=True)
     corpus = os.path.join(args.workdir, f"pages_{args.n_docs}")
     results: dict = {"n_docs": args.n_docs,
                      "cores": [args.cores_low, args.cores_high],
+                     "heap_gb": {c: heap_gb(c)
+                                 for c in (args.cores_low, args.cores_high)},
                      "jobs": jobs, "build": {}, "query": {}}
     print("spin probe (pre-bench)…", file=sys.stderr, flush=True)
     results["spin_probe_pre"] = spin_probe(args.cores_high)
@@ -142,6 +156,7 @@ spark.stop()
                     os.path.join(REPO, "jobs", "build_index.py"), cores,
                     ["--input", corpus, "--index-dir", idx, "--no-resume"],
                     os.path.join(args.workdir, f"build_{cores}_{i}.json"),
+                    mem_gb=heap_gb(cores),
                 )
                 m["gate_probe"] = gate
                 raw[("build", cores)].append(m)
@@ -158,6 +173,7 @@ spark.stop()
                     ["--index-dir", idx,
                      "--repeat", str(args.repeat_queries)],
                     os.path.join(args.workdir, f"query_{cores}_{i}.json"),
+                    mem_gb=heap_gb(cores),
                 )
                 m["gate_probe"] = gate
                 raw[("query", cores)].append(m)
